@@ -1,0 +1,26 @@
+"""Assembles the full query catalog from every operator module.
+
+One entry per operator row in SURVEY.md §2 (plus the training-data
+pipeline ops). Import side effects populate each module's CATALOG.
+"""
+
+from __future__ import annotations
+
+from .operators.relational import CATALOG as _RELATIONAL
+from .operators.relational import QuerySpec
+
+
+def full_catalog() -> dict[str, QuerySpec]:
+    cat: dict[str, QuerySpec] = {}
+    cat.update(_RELATIONAL)
+    for modname in ("dedup", "text", "similarity", "geo_queries", "ml_queries",
+                    "multimodal"):
+        try:
+            mod = __import__(
+                f"osm_data_classification_spark.operators.{modname}",
+                fromlist=["CATALOG"],
+            )
+            cat.update(mod.CATALOG)
+        except ImportError:
+            pass
+    return cat

@@ -1,0 +1,171 @@
+"""Table IO: catalog-abstracted reads, checkpoint writes, lineage sink.
+
+The reference pipeline hands data between luigi tasks as CSV files on
+disk — the file IS the checkpoint (SURVEY.md §3.1 `[U: luigi targets]`).
+The new engine's equivalent is: parquet/Iceberg snapshot per stage plus
+a **lineage/metrics side table** with one row per output partition
+``(partition_id, input_rows, output_rows, cell_range, checksum)``
+(BASELINE.json:6), enabling exact resume-from-checkpoint.
+
+Locally the "catalog" is a directory of parquet tables; on a cluster
+swap ``format("parquet")`` for ``format("iceberg")`` — the engine code
+above this module is identical in both (SURVEY.md §7 M0/M4 note).
+
+The per-partition checksum is **order-insensitive** (a sum of
+xxhash64 over canonicalized rows) so it is stable across shuffle
+nondeterminism and parallelism levels — the L4 invariance gate
+(SURVEY.md §5.2) compares it between local[8] and local[32] runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided parquet table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TPCH_TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql()."""
+    for t in TPCH_TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+# ---------------------------------------------------------------------------
+# Lineage / metrics (SURVEY.md §2.1 S5)
+# ---------------------------------------------------------------------------
+
+
+def row_checksum(df: DataFrame) -> F.Column:
+    """Order-insensitive per-row hash over every column.
+
+    ``xxhash64`` runs JVM-side inside whole-stage codegen; summing it is
+    commutative, so the aggregate is independent of row order and
+    partitioning. Floats are canonicalized via their IEEE bits through
+    the hash of the column value itself (Spark hashes the raw value).
+    """
+    return F.xxhash64(*[F.col(c) for c in df.columns])
+
+
+def lineage_rows(
+    df: DataFrame,
+    cell_col: str | None = None,
+    input_rows: int | None = None,
+) -> DataFrame:
+    """Per-partition lineage rows (BASELINE.json:6).
+
+    Schema: partition_id, input_rows, output_rows, cell_min, cell_max,
+    checksum. Pure built-in aggregation — one narrow pass, no shuffle
+    beyond the final tiny groupBy on partition_id (#partitions rows).
+    """
+    cell = F.col(cell_col) if cell_col else F.lit(None).cast("long")
+    return (
+        df.withColumn("__pid", F.spark_partition_id())
+        .withColumn("__h", row_checksum(df))
+        .groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("output_rows"),
+            F.min(cell).alias("cell_min"),
+            F.max(cell).alias("cell_max"),
+            F.sum("__h").alias("checksum"),
+        )
+        .select(
+            F.col("__pid").alias("partition_id"),
+            F.lit(input_rows).cast("long").alias("input_rows"),
+            "output_rows",
+            "cell_min",
+            "cell_max",
+            "checksum",
+        )
+    )
+
+
+def table_checksum(df: DataFrame) -> int:
+    """Single order-insensitive checksum of a whole DataFrame — used by
+    the L4 parallelism-invariance gate (local[8] output ≡ local[32])."""
+    row = df.agg(F.sum(row_checksum(df)).alias("c"), F.count(F.lit(1)).alias("n")).collect()[0]
+    return ((row["c"] or 0) % (1 << 64)) ^ row["n"]
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint / resume (SURVEY.md §4.1 "custom" row; M4)
+# ---------------------------------------------------------------------------
+
+
+def checkpoint_write(
+    df: DataFrame,
+    path: str,
+    cell_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a stage result + its lineage side table.
+
+    Layout: ``{path}/data`` (the rows) and ``{path}/_lineage`` (the
+    metrics table). On Iceberg this maps to a snapshot append plus a
+    row-append to a metrics table; the resume contract is identical.
+    """
+    df.write.mode(mode).parquet(os.path.join(path, "data"))
+    spark = df.sparkSession
+    data = spark.read.parquet(os.path.join(path, "data"))
+    lineage_rows(data, cell_col=cell_col).write.mode(mode).parquet(
+        os.path.join(path, "_lineage")
+    )
+
+
+def checkpoint_exists(spark: SparkSession, path: str) -> bool:
+    """A checkpoint is valid iff data + lineage agree on row counts —
+    the exact-resume gate: a partially-written stage (data present,
+    lineage missing or mismatched) is treated as absent and recomputed."""
+    data_p = os.path.join(path, "data")
+    lin_p = os.path.join(path, "_lineage")
+    if not (os.path.isdir(data_p) and os.path.isdir(lin_p)):
+        return False
+    try:
+        n_data = spark.read.parquet(data_p).count()
+        n_lin = (
+            spark.read.parquet(lin_p).agg(F.sum("output_rows").alias("n")).collect()[0]["n"]
+        )
+        return n_data == (n_lin or 0)
+    except Exception:
+        return False
+
+
+def checkpoint_read(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(path, "data"))
+
+
+def run_stage(
+    spark: SparkSession,
+    path: str,
+    build: "callable",
+    cell_col: str | None = None,
+    force: bool = False,
+) -> DataFrame:
+    """Resume-from-checkpoint: return the committed stage output if its
+    lineage validates, else build → write → read back."""
+    if not force and checkpoint_exists(spark, path):
+        return checkpoint_read(spark, path)
+    checkpoint_write(build(), path, cell_col=cell_col)
+    return checkpoint_read(spark, path)

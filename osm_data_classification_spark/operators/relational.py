@@ -1,0 +1,929 @@
+"""Relational operator catalog (SURVEY.md §2, milestone M1).
+
+Every function here is one operator row from the survey's inventory —
+projections/filters (P*), joins (J1–J4, J7), aggregations (A1–A9),
+windows (W1–W5), sorts, set ops, scalar families, and the
+batch-semantics versions of the streaming ops (§2.9) — expressed as
+Catalyst-native DataFrame programs. Each carries a DuckDB oracle SQL
+string; the driver compares row count + schema + order-insensitive
+value hash at sf0.01.
+
+Reference parity notes (all `[U]` — /root/reference is empty, SURVEY.md
+§0.1): the reference's pandas idioms map as
+  sort+shift version enrichment  -> Window lead/lag        (W1)
+  groupby per elem/chgset/user   -> groupBy().agg(...)     (A1–A3)
+  left merge + fillna(0)         -> left join + coalesce   (J1/P4)
+  value_counts().head(K)         -> groupBy.count.orderBy.limit (A6)
+
+Cross-engine float determinism: SUM/AVG over doubles is
+order-dependent in IEEE arithmetic, and Spark and DuckDB will not sum
+in the same order. Every double aggregate therefore rounds each term
+to a fixed scale and sums as DECIMAL (exact, commutative), casting
+back to double at the end — both engines produce bit-identical
+results regardless of partitioning. See :func:`dsum` / :data:`DSUM`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: Optional[str]  # DuckDB oracle; None => rows-only check
+
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def register(name: str, sql: Optional[str]):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn, sql)
+        return fn
+
+    return deco
+
+
+# --- cross-engine deterministic float aggregates ---------------------------
+
+
+def dsum(col: Column, scale: int = 4) -> Column:
+    """Order-insensitive sum of doubles: round each term to ``scale``
+    decimals, sum exactly as decimal, return double."""
+    return F.sum(F.round(col, scale).cast("decimal(38,6)")).cast("double")
+
+
+def DSUM(expr: str, scale: int = 4) -> str:
+    """DuckDB-side mirror of :func:`dsum`."""
+    return f"CAST(SUM(CAST(ROUND({expr}, {scale}) AS DECIMAL(38,6))) AS DOUBLE)"
+
+
+def dec2(col) -> Column:
+    """Money columns are 2-decimal values stored as double; quantize to
+    DECIMAL(18,2) so downstream arithmetic is exact and engine-stable.
+    (Rounding *products* of doubles instead hits true decimal midpoints
+    — e.g. a ...05 at the target scale — where HALF_UP disagrees across
+    engines; exact decimal multiply has no midpoints to lose.)"""
+    return (col if isinstance(col, Column) else F.col(col)).cast("decimal(18,2)")
+
+
+def DEC2(expr: str) -> str:
+    return f"CAST({expr} AS DECIMAL(18,2))"
+
+
+def ts_str(col: Column) -> Column:
+    """Timestamp -> canonical string (µs), identical in both engines."""
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+
+TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+# ===========================================================================
+# 2.1/2.2 scans, projections, filters, dedup
+# ===========================================================================
+
+
+@register("scan_pages", "SELECT doc_id, lang, n_chars FROM documents")
+def scan_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: source scan + column projection. Catalyst pushes the 3-column
+    projection into the parquet reader (ReadSchema pruning)."""
+    return load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "filter_lang_en",
+    "SELECT doc_id, source, n_chars FROM documents WHERE lang = 'en'",
+)
+def filter_lang_en(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: predicate filter, pushed down to the parquet scan."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("lang") == "en")
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+@register("distinct_users", "SELECT DISTINCT user_id FROM events")
+def distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: dedup — partial-aggregate dedup map-side, then exchange."""
+    return load_table(spark, sf_dir, "events").select("user_id").distinct()
+
+
+# ===========================================================================
+# 2.3 joins
+# ===========================================================================
+
+
+@register(
+    "join_orders_customer",
+    """
+    SELECT c.c_custkey, c.c_name,
+           COALESCE(o.order_cnt, 0) AS order_cnt,
+           COALESCE(o.total_spent, 0.0) AS total_spent
+    FROM customer c
+    LEFT JOIN (
+        SELECT o_custkey, COUNT(*) AS order_cnt,
+               {dsum} AS total_spent
+        FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    """.format(dsum=DSUM("o_totalprice", 2)),
+)
+def join_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 + P4: the reference's `user ⨝ editor-counts` left merge with
+    fillna(0) `[U: UserMetadataExtract]`. Aggregate-before-join shrinks
+    the build side; Catalyst broadcasts it (customer is the probe)."""
+    customer = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("order_cnt"),
+            dsum(F.col("o_totalprice"), 2).alias("total_spent"),
+        )
+    )
+    return customer.join(
+        per_cust, customer.c_custkey == per_cust.o_custkey, "left"
+    ).select(
+        "c_custkey",
+        "c_name",
+        F.coalesce("order_cnt", F.lit(0)).alias("order_cnt"),
+        F.coalesce("total_spent", F.lit(0.0)).alias("total_spent"),
+    )
+
+
+@register(
+    "join_lineitem_orders",
+    """
+    SELECT o.o_orderstatus, COUNT(*) AS n_lines,
+           CAST(SUM({p} * (1 - {d})) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """.format(p=DEC2("l.l_extendedprice"), d=DEC2("l.l_discount")),
+)
+def join_lineitem_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: fact-fact equi join (history ⨝ changeset meta `[U]`).
+    Sort-merge at scale; AQE may demote to broadcast at sf0.01."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(dec2("l_extendedprice") * (1 - dec2("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@register(
+    "star_join_3way",
+    """
+    SELECT r.r_name, COUNT(*) AS n_orders, {dsum} AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """.format(dsum=DSUM("o.o_totalprice", 2)),
+)
+def star_join_3way(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: star-schema enrichment as chained broadcast-hash joins —
+    nation/region are tiny dims, broadcast explicitly so the fact table
+    never shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "semi_join_active_users",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_join_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-semi — existence check without row duplication."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "anti_join_inactive",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left-anti (exclude-bots analog `[U]`)."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "range_join_events_day",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_in_window
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND l.l_shipdate BETWEEN o.o_orderdate
+                          AND o.o_orderdate + INTERVAL 30 DAY
+    GROUP BY o.o_orderpriority
+    """,
+)
+def range_join_events_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: range/interval predicate rides on the equi key, so Catalyst
+    still plans a hash/sort-merge join on l_orderkey with the BETWEEN
+    as a post-join filter — never a BNLJ."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (li.l_orderkey == orders.o_orderkey) & F.col("l_shipdate").between(
+        F.col("o_orderdate"), F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+    )
+    return (
+        li.join(orders, cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_in_window"))
+    )
+
+
+# ===========================================================================
+# 2.4 aggregations
+# ===========================================================================
+
+
+@register(
+    "agg_element_meta",
+    """
+    SELECT l_orderkey,
+           COUNT(*) AS n_lines,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           strftime(MIN(l_shipdate), '{fmt}') AS first_ship,
+           strftime(MAX(l_shipdate), '{fmt}') AS last_ship,
+           date_diff('day', CAST(MIN(l_shipdate) AS DATE),
+                            CAST(MAX(l_shipdate) AS DATE)) AS lifespan_days
+    FROM lineitem GROUP BY l_orderkey
+    """.format(fmt=TS_FMT_DUCK),
+)
+def agg_element_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: per-element metadata `[U: ElementMetadataExtract]` — version
+    count, distinct contributors, created_at/lastmodif_at, lifespan.
+    Single hash aggregate; partial aggregation combines map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        ts_str(F.min("l_shipdate")).alias("first_ship"),
+        ts_str(F.max("l_shipdate")).alias("last_ship"),
+        F.datediff(
+            F.to_date(F.max("l_shipdate")), F.to_date(F.min("l_shipdate"))
+        ).cast("long").alias("lifespan_days"),
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "agg_pivot_eventtype",
+    """
+    SELECT user_id,
+           {cols}
+    FROM events GROUP BY user_id
+    """.format(
+        cols=",\n           ".join(
+            f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+            for t in EVENT_TYPES
+        )
+    ),
+)
+def agg_pivot_eventtype(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: per-changeset per-type modification counts
+    `[U: ChangeSetMetadataExtract]` as conditional aggregation — a
+    pivot with a *static* schema (a real `pivot()` would need a values
+    scan first; conditional agg is one pass and plan-stable)."""
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [
+        F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+        for t in EVENT_TYPES
+    ]
+    return ev.groupBy("user_id").agg(*aggs)
+
+
+@register(
+    "agg_user_features",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_types,
+           COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+           strftime(MIN(ts), '{fmt}') AS first_seen,
+           strftime(MAX(ts), '{fmt}') AS last_seen,
+           {vsum} AS total_value,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+           ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS error_rate
+    FROM events GROUP BY user_id
+    """.format(fmt=TS_FMT_DUCK, vsum=DSUM("value", 2)),
+)
+def agg_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: the per-user feature matrix `[U: UserMetadataExtract]`,
+    BASELINE.json:6 "user-classification groupBy features" — one wide
+    groupBy pass (counts, distincts, extents, rates)."""
+    ev = load_table(spark, sf_dir, "events")
+    n_err = F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct(F.to_date("ts")).alias("active_days"),
+        ts_str(F.min("ts")).alias("first_seen"),
+        ts_str(F.max("ts")).alias("last_seen"),
+        dsum(F.col("value"), 2).alias("total_value"),
+        n_err.alias("n_errors"),
+        F.round(n_err.cast("double") / F.count(F.lit(1)), 6).alias("error_rate"),
+    )
+
+
+@register("agg_approx_distinct", None)  # rows-only: approx != exact by design
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: HLL++ sketch — the documented fast path for `nunique` at
+    10^12 rows (exact countDistinct needs a full shuffle of the keys;
+    approx_count_distinct is one pass, mergeable map-side)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@register(
+    "agg_activity_histogram",
+    """
+    SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id, date_trunc('day', ts)
+    """,
+)
+def agg_activity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: temporal activity histogram `[U: chronology]`,
+    BASELINE.json:6 "temporal activity histograms"."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "user_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "topk_event_types",
+    """
+    SELECT event_type, COUNT(*) AS n FROM events
+    GROUP BY event_type ORDER BY n DESC, event_type LIMIT 3
+    """,
+)
+def topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: top-K vocabulary (`value_counts().head(K)`
+    `[U: extract_user_editor]`) — physical plan is
+    TakeOrderedAndProject, no global sort. Tie-broken on the key so the
+    cut is deterministic across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "event_type")
+        .limit(3)
+    )
+
+
+@register(
+    "rollup_lang_source",
+    """
+    SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS chars
+    FROM documents GROUP BY ROLLUP(lang, source)
+    """,
+)
+def rollup_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: grouping-sets rollup — one pass over the input computes all
+    three granularities (the reference runs three separate passes
+    `[U]`); Spark expands via a single Expand + hash agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.rollup("lang", "source").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("chars")
+    )
+
+
+@register(
+    "normalize_minmax",
+    """
+    SELECT c_custkey,
+           ROUND((c_acctbal - mn) / (mx - mn), 6) AS norm_bal
+    FROM customer,
+         (SELECT MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx FROM customer)
+    """,
+)
+def normalize_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: min-max normalization `[U: analysis normalization]` — global
+    extents via a 1-row aggregate broadcast-cross-joined back (no
+    window-over-everything, which would single-partition the data)."""
+    cust = load_table(spark, sf_dir, "customer")
+    ext = cust.agg(F.min("c_acctbal").alias("mn"), F.max("c_acctbal").alias("mx"))
+    return cust.crossJoin(F.broadcast(ext)).select(
+        "c_custkey",
+        F.round((F.col("c_acctbal") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6).alias(
+            "norm_bal"
+        ),
+    )
+
+
+# ===========================================================================
+# 2.5 windows
+# ===========================================================================
+
+
+@register(
+    "window_version_chain",
+    """
+    SELECT user_id, event_id,
+           ROW_NUMBER() OVER w AS version,
+           (ROW_NUMBER() OVER w = 1) AS init,
+           (LEAD(event_id) OVER w IS NULL) AS up_to_date,
+           (LEAD(event_type) OVER w IS DISTINCT FROM event_type) AS willbe_corr,
+           LEAD(epoch_us(ts)) OVER w - epoch_us(ts) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_version_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: the reference's sort+shift version-chain enrichment
+    `[U: OSMElementEnrichment]`: init / up_to_date / willbe_corr flags
+    and time-to-next-version, as lead() over a per-key window — one
+    sort per partition key instead of a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.row_number().over(w).alias("version"),
+        (F.row_number().over(w) == 1).alias("init"),
+        F.lead("event_id").over(w).isNull().alias("up_to_date"),
+        (
+            ~F.lead("event_type").over(w).eqNullSafe(F.col("event_type"))
+        ).alias("willbe_corr"),
+        (F.lead(us).over(w) - us).alias("gap_us"),
+    )
+
+
+@register(
+    "window_rank_users",
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS bal_rank
+    FROM customer
+    """,
+)
+def window_rank_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: ranking within group."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"))
+    return cust.select(
+        "c_nationkey", "c_custkey", "c_acctbal", F.rank().over(w).alias("bal_rank")
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(ROUND(value, 2) AS DECIMAL(38,4))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: running total `[U: chronology]` — decimal accumulator for
+    cross-engine exactness."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.sum(F.round("value", 2).cast("decimal(38,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+@register(
+    "window_avg_gap",
+    """
+    SELECT user_id,
+           ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*), 4) AS avg_gap_us
+    FROM (
+        SELECT user_id,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ) WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def window_avg_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: mean time between modifications `[U: ElementMetadataExtract]`
+    — lag() then groupBy; the gap sum is exact int64 so the average is
+    engine-stable."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.round(F.sum("gap_us").cast("double") / F.count(F.lit(1)), 4).alias("avg_gap_us")
+    )
+
+
+@register(
+    "window_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: top-k per group (kNN final cut pattern, BASELINE.json:6) —
+    row_number + filter; Spark plans a partial top-k sort per
+    partition, never a global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ===========================================================================
+# 2.6 sort/limit + 2.7 set ops
+# ===========================================================================
+
+
+@register(
+    "sort_limit_report",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100
+    """,
+)
+def sort_limit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6: orderBy+limit → TakeOrderedAndProject (per-partition top-N
+    + driver merge; the full data is never globally sorted)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+@register(
+    "union_sources",
+    """
+    SELECT doc_id, source FROM documents WHERE source = 'src0'
+    UNION ALL
+    SELECT doc_id, source FROM documents WHERE source = 'src1'
+    """,
+)
+def union_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: unionByName (`pd.concat` analog `[U]`) — no shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return docs.filter(F.col("source") == "src0").unionByName(
+        docs.filter(F.col("source") == "src1")
+    )
+
+
+@register(
+    "except_new_users",
+    """
+    SELECT DISTINCT user_id FROM events
+    EXCEPT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+    """,
+)
+def except_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: EXCEPT — users who never signed up."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.select("user_id")
+        .distinct()
+        .subtract(
+            ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+        )
+    )
+
+
+@register(
+    "intersect_buyers",
+    """
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+    """,
+)
+def intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7: INTERSECT — users who both clicked and purchased."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .intersect(ev.filter(F.col("event_type") == "click").select("user_id"))
+    )
+
+
+# ===========================================================================
+# 2.8 scalar function families
+# ===========================================================================
+
+
+@register(
+    "scalar_datetime",
+    """
+    SELECT event_id,
+           CAST(EXTRACT(year FROM ts) AS INT) AS y,
+           CAST(EXTRACT(month FROM ts) AS INT) AS m,
+           CAST(EXTRACT(day FROM ts) AS INT) AS d,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS h,
+           epoch_us(ts) AS unix_us,
+           strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start
+    FROM events
+    """,
+)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 date/time family — parse/extract/truncate, all JVM-side."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").alias("y"),
+        F.month("ts").alias("m"),
+        F.dayofmonth("ts").alias("d"),
+        F.hour("ts").alias("h"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("unix_us"),
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week_start"),
+    )
+
+
+@register(
+    "scalar_string_norm",
+    """
+    SELECT doc_id,
+           lower(source) AS source_lc,
+           CAST(NULLIF(regexp_extract(source, '(\\d+)', 1), '') AS INT) AS src_num,
+           length(text) AS text_len,
+           regexp_extract(text, '^(\\w+)', 1) AS first_token,
+           substr(text, 1, 16) AS prefix16
+    FROM documents
+    """,
+)
+def scalar_string_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 string family — the editor-name normalization analog
+    `[U: extract_user_editor]`: lowercase, regex extraction, lengths."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.lower("source").alias("source_lc"),
+        F.nullif(F.regexp_extract("source", r"(\d+)", 1), F.lit("")).cast("int").alias(
+            "src_num"
+        ),
+        F.length("text").cast("long").alias("text_len"),
+        F.regexp_extract("text", r"^(\w+)", 1).alias("first_token"),
+        F.substring("text", 1, 16).alias("prefix16"),
+    )
+
+
+@register(
+    "scalar_math_ratios",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST({p} * (1 - {d}) AS DOUBLE) AS revenue,
+           CAST({p} * (1 - {d}) * (1 + {t}) AS DOUBLE) AS charge,
+           ROUND(sqrt(l_extendedprice), 6) AS sqrt_price,
+           LEAST(l_quantity, 25.0) AS qty_capped
+    FROM lineitem
+    """.format(
+        p=DEC2("l_extendedprice"), d=DEC2("l_discount"), t=DEC2("l_tax")
+    ),
+)
+def scalar_math_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 math family. Only IEEE-exact ops (*, -, +, sqrt, least) are
+    oracle-compared — transcendental libm functions (log1p etc.) can
+    differ in the last ulp across engines and live in rows-only paths."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = dec2("l_extendedprice") * (1 - dec2("l_discount"))
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        rev.cast("double").alias("revenue"),
+        (rev * (1 + dec2("l_tax"))).cast("double").alias("charge"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_price"),
+        F.least("l_quantity", F.lit(25.0)).alias("qty_capped"),
+    )
+
+
+@register(
+    "json_extract_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+    FROM events
+    """,
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/§2.8 map-json family: the changeset-XML attribute parse analog
+    `[U: extract_user_editor]` via from_json on the events.props JSON."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json("props", "k INT").getField("k").alias("k"),
+    )
+
+
+@register(
+    "array_explode_embedding",
+    """
+    SELECT vec_id,
+           CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS idx,
+           unnest(embedding) AS val
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
+def array_explode_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 array family: posexplode (UDTF-equivalent)."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 20)
+    return emb.select("vec_id", F.posexplode("embedding").alias("idx", "val"))
+
+
+@register(
+    "array_l2_norm",
+    """
+    SELECT vec_id,
+           CAST(SUM(CAST(ROUND(CAST(val AS DOUBLE) * CAST(val AS DOUBLE), 12)
+                         AS DECIMAL(38,14))) AS DOUBLE) AS l2_sq
+    FROM (SELECT vec_id, UNNEST(embedding) AS val FROM embeddings)
+    GROUP BY vec_id
+    """,
+)
+def array_l2_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 array math: squared L2 norm via explode + decimal-exact sum
+    (order-insensitive, so the shuffle can't perturb the result)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.col("val").cast("double")
+    return (
+        emb.select("vec_id", F.explode("embedding").alias("val"))
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.round(x * x, 12).cast("decimal(38,14)"))
+            .cast("double")
+            .alias("l2_sq")
+        )
+    )
+
+
+# ===========================================================================
+# 2.9 streaming-shaped ops (batch semantics; same code runs under readStream)
+# ===========================================================================
+
+
+@register(
+    "stream_tumbling_daily",
+    """
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY date_trunc('day', ts)
+    """,
+)
+def stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 tumbling event-time window. Uses window() so the identical
+    plan runs under readStream + withWatermark (streaming/jobs.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+@register(
+    "stream_sliding_hourly",
+    """
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events
+    FROM (
+        SELECT unnest([date_trunc('hour', ts),
+                       date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start
+        FROM events
+    )
+    GROUP BY win_start
+    """,
+)
+def stream_sliding_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 sliding window (2h width, 1h slide): each event lands in two
+    windows; oracle materializes both starts explicitly."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_session_agg",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id)
+                    >= 1800000000 OR LAG(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ), numbered AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '{fmt}') AS session_start,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    """.format(fmt=TS_FMT_DUCK),
+)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 session windows (30-min gap): changeset-session
+    reconstruction analog `[U]`. Spark's session_window merges events
+    whose gap < 30 min; the oracle reproduces that with
+    gaps-and-islands SQL."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            ts_str(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )

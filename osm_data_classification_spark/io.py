@@ -89,7 +89,12 @@ def lineage_rows(
             F.count(F.lit(1)).alias("output_rows"),
             F.min(cell).alias("cell_min"),
             F.max(cell).alias("cell_max"),
-            F.sum("__h").alias("checksum"),
+            # decimal accumulator: ANSI mode would overflow a long sum
+            F.pmod(
+                F.sum(F.col("__h").cast("decimal(38,0)")), F.lit(2**62).cast("decimal(38,0)")
+            )
+            .cast("long")
+            .alias("checksum"),
         )
         .select(
             F.col("__pid").alias("partition_id"),
@@ -105,8 +110,11 @@ def lineage_rows(
 def table_checksum(df: DataFrame) -> int:
     """Single order-insensitive checksum of a whole DataFrame — used by
     the L4 parallelism-invariance gate (local[8] output ≡ local[32])."""
-    row = df.agg(F.sum(row_checksum(df)).alias("c"), F.count(F.lit(1)).alias("n")).collect()[0]
-    return ((row["c"] or 0) % (1 << 64)) ^ row["n"]
+    row = df.agg(
+        F.sum(row_checksum(df).cast("decimal(38,0)")).alias("c"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return (int(row["c"] or 0) % (1 << 64)) ^ row["n"]
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,51 @@
+"""End-to-end jobs — the flagship spatial-join + tiling trace
+(SURVEY.md §3.2) and the classification chain entry points.
+
+``flagship`` is the metric stage (BASELINE.json:2): its throughput in
+pages/sec at two parallelism levels is what bench.py measures, and its
+output is what ``entry(spark)`` returns to the driver smoke check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.geo_ops import pip_join, tile_aggregate
+from .sources.boundaries import packed_boundaries
+from .sources.pages import geocoded_pages
+
+FLAGSHIP_RES = 7
+
+
+def flagship(
+    spark: SparkSession,
+    sf_dir: str,
+    multiplier: int = 1,
+    n_boundaries: int = 50,
+    res: int = FLAGSHIP_RES,
+) -> DataFrame:
+    """scan pages → geocode → cell-encode → PIP join vs broadcast
+    boundary index → per-tile contributor/edit feature vectors.
+
+    Single logical plan: one broadcast join (coarse PIP), one Arrow
+    refine stage, two exchanges (the two-phase tile agg). The
+    `contributor` is the page's site id — the uid analog of the
+    reference's element history `[U: osmparsing]`.
+    """
+    pages = geocoded_pages(spark, sf_dir, multiplier=multiplier, res=res)
+    pages = pages.withColumn(
+        "contributor", F.regexp_extract("url", r"site(\d+)", 1).cast("long")
+    )
+    packed = packed_boundaries(n_boundaries)
+    matched = pip_join(pages, packed, res=res)
+    tiles = tile_aggregate(
+        matched, res=res, cell_col="cell", contributor_col="contributor"
+    )
+    # boundary hit-count per tile (distinct boundaries matched in the cell)
+    bhits = (
+        matched.select("cell", "boundary_id")
+        .groupBy("cell")
+        .agg(F.countDistinct("boundary_id").alias("n_boundaries"))
+    )
+    return tiles.join(bhits, "cell", "left").fillna(0, subset=["n_boundaries"])

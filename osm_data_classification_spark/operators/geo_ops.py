@@ -1,0 +1,304 @@
+"""Distributed geo operators: PIP join, grid kNN join, tile aggregation.
+
+These are the operators the reference lacks and the north-star adds
+(BASELINE.json:6,14) — each built the Spark-native way (SURVEY.md §2
+J5/J6/J9, A7/A8): a *relational* coarse phase (broadcast equi-join on
+cell ids, pure JVM) plus a vectorized-numpy exact refine behind an
+Arrow-batched pandas UDF. No per-row Python anywhere.
+
+Scale notes (the 1000-executor story):
+
+- The polygon set broadcasts (packed flat numpy arrays, rebuilt once
+  per Python worker). The points side — the 10^12-row table — never
+  shuffles for the PIP join at all: candidate generation is a
+  broadcast-hash join, the refine is a stateless map. The only
+  exchanges in the flagship are the tile-agg groupBys.
+- The kNN join shuffles both sides once, keyed by cell; border
+  correctness comes from an in-plan certification bound plus a
+  fallback pass for the (tiny) uncertified remainder, so the plan is
+  static — no driver-side convergence loop.
+- Mega-cell skew: distinct-count aggregation is two-phase keyed on
+  (cell, contributor) first — the hot cell's rows spread over the
+  whole cluster in phase 1 — and AQE skew-join splitting is on in the
+  session factory for the join paths.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.window import Window
+
+from ..geo.cells import (
+    RES_BITS_SHIFT,
+    cell_encode_col,
+    cell_from_xy_col,
+    cell_parent_col,
+    cell_size_deg,
+    xy_cols,
+)
+from ..geo.pip import PackedPolygons
+
+# ---------------------------------------------------------------------------
+# J5: point-in-polygon join
+# ---------------------------------------------------------------------------
+
+
+def pip_join(
+    points: DataFrame,
+    packed: PackedPolygons,
+    res: int = 7,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    refine: bool = True,
+) -> DataFrame:
+    """points ⨝ polygons with `point inside polygon` semantics.
+
+    Phase 1 (coarse, JVM): encode each point's cell at ``res`` and
+    equi-join against the broadcast (cell, boundary_id) bbox-cover
+    table — the STRtree-candidate analog (BASELINE.json:6).
+    Phase 2 (exact): Arrow-batched pandas UDF ray-cast against the
+    broadcast packed rings. ``refine=False`` exposes phase 1 alone
+    (used by tests to check the cover is a superset).
+    """
+    spark = points.sparkSession
+    cover_cells, cover_bids = packed.cell_cover(res)
+    cover = spark.createDataFrame(
+        pd.DataFrame({"__cell": cover_cells, "boundary_id": cover_bids})
+    )
+    cand = points.withColumn(
+        "__cell", cell_encode_col(F.col(lon_col), F.col(lat_col), res)
+    ).join(F.broadcast(cover), "__cell")
+    if not refine:
+        return cand.drop("__cell")
+
+    bc = spark.sparkContext.broadcast(packed)
+
+    @pandas_udf("boolean")
+    def _inside(bid: pd.Series, lon: pd.Series, lat: pd.Series) -> pd.Series:
+        pk = bc.value
+        idx = pk.index_of(bid.to_numpy())
+        return pd.Series(pk.contains(idx, lon.to_numpy(), lat.to_numpy()))
+
+    return cand.filter(
+        _inside(F.col("boundary_id"), F.col(lon_col), F.col(lat_col))
+    ).drop("__cell")
+
+
+# ---------------------------------------------------------------------------
+# J6: grid-partitioned kNN join with border certification
+# ---------------------------------------------------------------------------
+
+
+def _explode_kring(
+    df: DataFrame, lon_col: str, lat_col: str, res: int, ring: int
+) -> DataFrame:
+    """Add one row per k-ring neighbor cell of each input row's cell.
+    x wraps (anti-meridian), y clamps (poles) — mirrors kring_np."""
+    n = 1 << res
+    x, y = xy_cols(F.col(lon_col), F.col(lat_col), res)
+    neighbor_cells = []
+    for dx in range(-ring, ring + 1):
+        for dy in range(-ring, ring + 1):
+            nx = F.pmod(x + F.lit(dx), F.lit(n))
+            ny = y + F.lit(dy)
+            cell = cell_from_xy_col(nx, ny, res)
+            neighbor_cells.append(
+                F.when((ny >= 0) & (ny < n), cell).otherwise(F.lit(None))
+            )
+    arr = F.array_compact(F.array(*neighbor_cells))
+    return df.withColumn("__cell", F.explode(arr))
+
+
+def _cert_bound_sq(lon_col: str, lat_col: str, res: int, ring: int) -> Column:
+    """Squared lower bound on the distance from a probe to any candidate
+    OUTSIDE its (2*ring+1)² cell block. kth-NN dist below this bound
+    certifies the block contained the true k nearest.
+
+    Directions where the block hits a pole row (nothing beyond) or
+    wraps the whole world contribute no constraint (infinite bound).
+    """
+    n = 1 << res
+    w, h = cell_size_deg(res)
+    x, y = xy_cols(F.col(lon_col), F.col(lat_col), res)
+    lon0 = F.lit(-180.0) + x.cast("double") * F.lit(w)  # own-cell left edge
+    lat0 = F.lit(-90.0) + y.cast("double") * F.lit(h)
+    inf = F.lit(float("inf"))
+    if 2 * ring + 1 >= n:
+        dx_edge = inf
+    else:
+        dx_edge = F.least(
+            F.col(lon_col) - (lon0 - F.lit(float(ring * w))),
+            (lon0 + F.lit(float((ring + 1) * w))) - F.col(lon_col),
+        )
+    dy_lo = F.when(y - ring <= 0, inf).otherwise(
+        F.col(lat_col) - (lat0 - F.lit(float(ring * h)))
+    )
+    dy_hi = F.when(y + ring >= n - 1, inf).otherwise(
+        (lat0 + F.lit(float((ring + 1) * h))) - F.col(lat_col)
+    )
+    d = F.least(dx_edge, dy_lo, dy_hi)
+    return d * d
+
+
+def knn_join(
+    probes: DataFrame,
+    candidates: DataFrame,
+    k: int = 5,
+    res: int = 7,
+    ring: int = 1,
+    id_col: str = "qid",
+    cand_id_col: str = "cid",
+) -> DataFrame:
+    """Exact k-nearest-neighbor join (planar squared-degree metric).
+
+    probes:     (id_col, lon, lat);  candidates: (cand_id_col, lon, lat).
+    Returns (id_col, cand_id_col, dist_sq, rank), rank 1..k, ties broken
+    on candidate id — a unique, bit-for-bit-comparable result set.
+
+    One static plan, two phases:
+      1. ring pass — probe cells exploded to the (2*ring+1)² block,
+         equi-joined to candidates on cell, per-probe top-k window;
+         a probe is CERTIFIED iff it found ≥k candidates and its kth
+         distance is within the block-boundary bound.
+      2. fallback — uncertified probes (border cases, sparse cells)
+         re-scored against the full candidate set. At production scale
+         this is the rare tail, and would itself be staged as a wider
+         ring pass; correctness never depends on density assumptions.
+    """
+    qlon, qlat = "lon", "lat"
+    cand = candidates.select(
+        F.col(cand_id_col),
+        F.col("lon").alias("__clon"),
+        F.col("lat").alias("__clat"),
+    ).withColumn("__cell", cell_encode_col(F.col("__clon"), F.col("__clat"), res))
+
+    probes_p = probes.select(id_col, qlon, qlat)
+
+    def topk(joined: DataFrame) -> DataFrame:
+        dx = F.col(qlon) - F.col("__clon")
+        dy = F.col(qlat) - F.col("__clat")
+        d = (dx * dx + dy * dy).alias("dist_sq")
+        w = Window.partitionBy(id_col).orderBy("dist_sq", cand_id_col)
+        return (
+            joined.select(id_col, qlon, qlat, cand_id_col, d)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+
+    ringed = _explode_kring(probes_p, qlon, qlat, res, ring)
+    pass1 = topk(ringed.join(cand, "__cell")).withColumn(
+        "__cert_sq", _cert_bound_sq(qlon, qlat, res, ring)
+    )
+    per_probe = pass1.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.max("dist_sq").alias("__kth"),
+        F.first("__cert_sq").alias("__cert"),
+    )
+    certified_ids = per_probe.filter(
+        (F.col("__n") >= k) & (F.col("__kth") <= F.col("__cert"))
+    ).select(id_col)
+    certified = pass1.join(F.broadcast(certified_ids), id_col, "left_semi")
+
+    uncert_probes = probes_p.join(F.broadcast(certified_ids), id_col, "left_anti")
+    fallback = topk(uncert_probes.crossJoin(cand.drop("__cell")))
+
+    out_cols = [id_col, cand_id_col, "dist_sq", "rank"]
+    return certified.select(*out_cols).unionByName(fallback.select(*out_cols))
+
+
+# ---------------------------------------------------------------------------
+# A7/A8: raster<->vector tile aggregation + resolution ladder
+# ---------------------------------------------------------------------------
+
+LANGS = ("en", "es", "de", "fr", "zh")
+
+
+def tile_aggregate(
+    pages: DataFrame,
+    res: int,
+    cell_col: str | None = None,
+    contributor_col: str = "contributor",
+) -> DataFrame:
+    """Per-tile contributor/edit-count feature vectors (BASELINE.json:6).
+
+    All measures are integers (bit-for-bit stable under any
+    partitioning): edit count, distinct contributors, distinct urls,
+    per-lang edit counts (the node/way/relation-count analog `[U:
+    ChangeSetMetadataExtract]`), and a 7-bin day-of-week activity
+    histogram (the temporal-activity-histogram analog).
+
+    Distinct counts use the skew-robust two-phase shape: the first
+    shuffle is keyed on (cell, contributor, url) so a mega-cell's rows
+    spread across the cluster before the per-cell count (J9 salting by
+    the distinct key itself).
+    """
+    cell = F.col(cell_col) if cell_col else cell_encode_col(F.col("lon"), F.col("lat"), res)
+    dow = F.dayofweek("warc_ts")
+    base = pages.select(
+        cell.alias("cell"),
+        F.col(contributor_col).alias("__uid"),
+        F.col("url").alias("__url"),
+        F.col("lang").alias("__lang"),
+        dow.alias("__dow"),
+    )
+    # phase 1: partial per (cell, uid, url) — spreads mega-cells
+    partial = base.groupBy("cell", "__uid", "__url").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.when(F.col("__lang") == lg, 1).otherwise(0)).alias(f"__n_{lg}")
+            for lg in LANGS
+        ],
+        *[
+            F.sum(F.when(F.col("__dow") == d, 1).otherwise(0)).alias(f"__d{d}")
+            for d in range(1, 8)
+        ],
+    )
+    # phase 2: final per cell
+    return partial.groupBy("cell").agg(
+        F.sum("__n").alias("n_edits"),
+        F.countDistinct("__uid").alias("n_contributors"),
+        F.countDistinct("__url").alias("n_urls"),
+        *[F.sum(f"__n_{lg}").alias(f"n_{lg}") for lg in LANGS],
+        F.array(*[F.sum(f"__d{d}") for d in range(1, 8)]).alias("activity_hist"),
+    )
+
+
+DISTINCT_TILE_COLS = ("n_contributors", "n_urls")
+
+
+def tile_rollup(tiles: DataFrame, child_res: int, parent_res: int) -> DataFrame:
+    """Additive rollup child tiles -> parent tiles via pure cell-id
+    arithmetic (no re-scan of the fact table). Distinct-count columns
+    (n_contributors, n_urls) are NOT additive and are dropped —
+    recompute them from pages via :func:`tile_aggregate` at the parent
+    res when exact values are needed (or carry an HLL sketch at scale)."""
+    parent = cell_parent_col(F.col("cell"), child_res, parent_res).alias("cell")
+    add_cols = [
+        c
+        for c in tiles.columns
+        if c.startswith("n_") and c not in DISTINCT_TILE_COLS
+    ]
+    return tiles.groupBy(parent).agg(
+        *[F.sum(c).alias(c) for c in add_cols],
+        F.array(
+            *[
+                F.sum(F.element_at(F.col("activity_hist"), i + 1))
+                for i in range(7)
+            ]
+        ).alias("activity_hist"),
+    )
+
+
+def tile_ladder(tiles_hi: DataFrame, res_hi: int, res_lo: int) -> DataFrame:
+    """Full resolution ladder res_hi -> res_lo (A8): each level rolls up
+    from the one above (partial-agg friendly), unioned with a `res`
+    discriminator column."""
+    cur = tiles_hi.drop(*[c for c in DISTINCT_TILE_COLS if c in tiles_hi.columns])
+    out = cur.withColumn("res", F.lit(res_hi))
+    for r in range(res_hi - 1, res_lo - 1, -1):
+        cur = tile_rollup(cur, r + 1, r)
+        out = out.unionByName(cur.withColumn("res", F.lit(r)))
+    return out

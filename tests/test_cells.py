@@ -1,0 +1,117 @@
+"""L1 kernel tests for the hierarchical cell index (SURVEY.md §5.2)."""
+
+import numpy as np
+import pytest
+
+from osm_data_classification_spark.geo import cells
+
+
+RNG = np.random.default_rng(42)
+LON = RNG.uniform(-180, 180, 500)
+LAT = RNG.uniform(-90, 90, 500)
+
+
+@pytest.mark.parametrize("res", range(5, 13))
+def test_encode_decode_roundtrip(res):
+    c = cells.encode_np(LON, LAT, res)
+    assert np.all(cells.cell_res_np(c) == res)
+    x, y = cells.cell_xy_np(c)
+    ex, ey = cells.xy_np(LON, LAT, res)
+    assert np.array_equal(x, ex)
+    assert np.array_equal(y, ey)
+    # point lies inside its own cell bounds
+    lon0, lat0, lon1, lat1 = cells.cell_bounds_np(c)
+    assert np.all((LON >= lon0) & (LON < lon1 + 1e-9))
+    assert np.all((LAT >= lat0 - 1e-9) & (LAT <= lat1 + 1e-9))
+
+
+@pytest.mark.parametrize("res", range(6, 13))
+def test_parent_hierarchy_invariant(res):
+    """parent(encode(p, r), r-1) == encode(p, r-1) — the invariant the
+    res-ladder rollup (A7/A8) depends on."""
+    c = cells.encode_np(LON, LAT, res)
+    p = cells.parent_np(c, res - 1)
+    assert np.array_equal(p, cells.encode_np(LON, LAT, res - 1))
+
+
+def test_children_roundtrip():
+    c = cells.encode_np(np.array([12.3]), np.array([45.6]), 8)[0]
+    kids = cells.children_np(c)
+    assert len(kids) == 4
+    for kid in kids:
+        assert cells.parent_np(np.array([kid]), 8)[0] == c
+
+
+def test_kring_basic():
+    c = cells.encode_np(np.array([0.0]), np.array([0.0]), 8)[0]
+    ring = cells.kring_np(c, 1)
+    assert len(ring) == 9 and c in ring
+    # neighbors are Chebyshev distance <= 1
+    x0, y0 = cells.cell_xy_np(np.array([c]))
+    xs, ys = cells.cell_xy_np(ring)
+    assert np.all(np.abs(xs - x0[0]) <= 1)
+    assert np.all(np.abs(ys - y0[0]) <= 1)
+
+
+def test_kring_antimeridian_wraps():
+    """Cell at x=0 must include x = 2^r - 1 neighbors (lon wrap)."""
+    res = 8
+    n = 1 << res
+    c = cells.encode_np(np.array([-180.0]), np.array([0.0]), res)[0]
+    ring = cells.kring_np(c, 1)
+    xs, _ = cells.cell_xy_np(ring)
+    assert (n - 1) in xs and 0 in xs
+    assert len(ring) == 9
+
+
+def test_kring_pole_clamps():
+    res = 8
+    n = 1 << res
+    c = cells.encode_np(np.array([0.0]), np.array([89.9]), res)[0]
+    _, ys = cells.cell_xy_np(np.array([c]))
+    assert ys[0] == n - 1
+    ring = cells.kring_np(c, 1)
+    assert len(ring) == 6  # top row clipped
+
+
+def test_cover_bbox_superset():
+    cc = cells.cover_bbox_np(10.0, 40.0, 12.0, 42.0, 7)
+    # every grid point inside the bbox must land in a covered cell
+    gx, gy = np.meshgrid(np.linspace(10.0, 11.99, 20), np.linspace(40.0, 41.99, 20))
+    pts = cells.encode_np(gx.ravel(), gy.ravel(), 7)
+    assert np.all(np.isin(pts, cc))
+
+
+def test_cover_bbox_antimeridian():
+    cc = cells.cover_bbox_np(179.0, 0.0, 181.0, 1.0, 7)  # unwrapped xmax
+    east = cells.encode_np(np.array([179.5]), np.array([0.5]), 7)
+    west = cells.encode_np(np.array([-179.5]), np.array([0.5]), 7)
+    assert east[0] in cc and west[0] in cc
+
+
+def test_golden_values_stable():
+    """Pin a handful of encodings so the id scheme can never silently
+    change (tile assignments must be bit-for-bit, BASELINE.json:6)."""
+    pts = [(0.0, 0.0), (-180.0, -90.0), (179.999, 89.999), (2.35, 48.86)]
+    got = [
+        int(cells.encode_np(np.array([lo]), np.array([la]), 7)[0]) for lo, la in pts
+    ]
+    recomputed = [
+        int(
+            (7 << cells.RES_BITS_SHIFT)
+            | int(
+                cells._spread_np(np.array([x]))[0]
+                | (cells._spread_np(np.array([y]))[0] << np.uint64(1))
+            )
+        )
+        for x, y in [
+            cells.xy_np(np.array([lo]), np.array([la]), 7) for lo, la in pts
+        ]
+    ]
+    recomputed = [int(v) for v in recomputed]
+    assert got == recomputed
+    # hard-pinned values (computed once, must never drift)
+    assert got[0] == (7 << 56) | int(
+        cells._spread_np(np.array([64]))[0] | cells._spread_np(np.array([64]))[0] << np.uint64(1)
+    )
+    assert got[1] == (7 << 56)  # origin corner -> morton 0

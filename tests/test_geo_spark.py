@@ -1,0 +1,177 @@
+"""L3 geo parity: distributed operators vs the single-threaded numpy
+oracle, bit-for-bit (SURVEY.md §5.2; BASELINE.json:6 correctness gate:
+'join output row counts and tile-to-cell assignments bit-for-bit')."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from osm_data_classification_spark.geo import cells
+from osm_data_classification_spark.geo.knn import knn_bruteforce
+from osm_data_classification_spark.operators.geo_ops import (
+    knn_join,
+    pip_join,
+    tile_aggregate,
+    tile_ladder,
+)
+from osm_data_classification_spark.sources.boundaries import packed_boundaries
+from osm_data_classification_spark.sources.pages import (
+    geocode_np,
+    geocoded_pages,
+    synth_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def pages_pd(spark, sf_dir):
+    return geocoded_pages(spark, sf_dir, res=7).toPandas()
+
+
+def test_pages_shape_and_invariants(spark, sf_dir):
+    pages = synth_pages(spark, sf_dir)
+    assert [f.name for f in pages.schema.fields] == [
+        "url",
+        "warc_ts",
+        "html",
+        "text",
+        "lang",
+    ]
+    # byte-identical text per url (BASELINE.json:6) — and html wraps text
+    bad = (
+        pages.groupBy("url")
+        .agg(F.countDistinct("text").alias("nt"), F.countDistinct("html").alias("nh"))
+        .filter((F.col("nt") > 1) | (F.col("nh") > 1))
+        .count()
+    )
+    assert bad == 0
+    # version chains exist
+    chains = pages.groupBy("url").count().filter("count > 1").count()
+    assert chains > 0
+
+
+def test_spark_encode_matches_numpy(pages_pd):
+    """Column-expression encoder ≡ numpy encoder on real data."""
+    lon, lat = geocode_np(pages_pd["text"].tolist())
+    assert np.allclose(lon, pages_pd["lon"].to_numpy())
+    assert np.allclose(lat, pages_pd["lat"].to_numpy())
+    expect = cells.encode_np(lon, lat, 7)
+    assert np.array_equal(expect, pages_pd["cell"].to_numpy())
+
+
+def test_pip_join_parity(spark, sf_dir, pages_pd):
+    """Spark PIP join ≡ numpy oracle: exact (url, warc_ts, boundary_id)
+    set equality — not just row counts."""
+    packed = packed_boundaries(50)
+    got = (
+        pip_join(geocoded_pages(spark, sf_dir, res=7), packed, res=7)
+        .select("url", "warc_ts", "boundary_id")
+        .toPandas()
+    )
+    # oracle: brute force over all (point, boundary) pairs
+    lon = pages_pd["lon"].to_numpy()
+    lat = pages_pd["lat"].to_numpy()
+    rows = []
+    for b in range(packed.n_boundaries):
+        inside = packed.contains(np.full(len(lon), b), lon, lat)
+        for i in np.flatnonzero(inside):
+            rows.append(
+                (pages_pd["url"].iat[i], pages_pd["warc_ts"].iat[i], int(packed.boundary_id[b]))
+            )
+    expect = set(rows)
+    gotset = set(
+        zip(got["url"], got["warc_ts"], got["boundary_id"].astype(int))
+    )
+    assert gotset == expect
+    assert len(got) == len(rows)
+
+
+def test_pip_coarse_is_superset(spark, sf_dir):
+    packed = packed_boundaries(50)
+    pages = geocoded_pages(spark, sf_dir, res=7)
+    coarse = pip_join(pages, packed, res=7, refine=False).count()
+    exact = pip_join(pages, packed, res=7).count()
+    assert coarse >= exact > 0
+
+
+def test_knn_join_parity(spark, sf_dir, pages_pd):
+    """Grid kNN join ≡ brute-force oracle, including cross-cell border
+    neighbors and the uncertified-fallback path."""
+    uniq = pages_pd.drop_duplicates("url")
+    qid = np.arange(len(uniq), dtype=np.int64)
+    lon = uniq["lon"].to_numpy()
+    lat = uniq["lat"].to_numpy()
+    pts = spark.createDataFrame(
+        pd.DataFrame({"qid": qid, "lon": lon, "lat": lat})
+    )
+    got = (
+        knn_join(pts, pts.withColumnRenamed("qid", "cid"), k=5, res=6)
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    oracle = knn_bruteforce(lon, lat, qid, lon, lat, qid, k=5)
+    odf = (
+        pd.DataFrame(oracle).sort_values(["qid", "rank"]).reset_index(drop=True)
+    )
+    assert len(got) == len(odf)
+    assert np.array_equal(got["qid"].to_numpy(), odf["qid"].to_numpy())
+    assert np.array_equal(got["cid"].to_numpy(), odf["cid"].to_numpy())
+    assert np.allclose(got["dist_sq"].to_numpy(), odf["dist_sq"].to_numpy())
+
+
+def test_tile_assignments_bit_for_bit(spark, sf_dir, pages_pd):
+    """Tile aggregation ≡ pandas oracle on every integer measure, and
+    invariant across shuffle-partition settings."""
+    pages = geocoded_pages(spark, sf_dir, res=7).withColumn(
+        "contributor", F.regexp_extract("url", r"site(\d+)", 1).cast("long")
+    )
+    tiles = tile_aggregate(pages, res=7, cell_col="cell").toPandas()
+    pdf = pages_pd.copy()
+    pdf["contributor"] = (
+        pdf["url"].str.extract(r"site(\d+)").astype("int64").iloc[:, 0]
+    )
+    oracle = (
+        pdf.groupby("cell")
+        .agg(
+            n_edits=("url", "size"),
+            n_contributors=("contributor", "nunique"),
+            n_urls=("url", "nunique"),
+        )
+        .reset_index()
+    )
+    merged = tiles.merge(oracle, on="cell", suffixes=("", "_o"))
+    assert len(merged) == len(oracle) == len(tiles)
+    for c in ("n_edits", "n_contributors", "n_urls"):
+        assert np.array_equal(merged[c].to_numpy(), merged[f"{c}_o"].to_numpy()), c
+    # histogram sums == edit counts
+    assert np.array_equal(
+        np.array([sum(h) for h in tiles["activity_hist"]]),
+        tiles["n_edits"].to_numpy(),
+    )
+
+
+def test_tile_ladder_conserves_counts(spark, sf_dir):
+    pages = geocoded_pages(spark, sf_dir, res=9).withColumn(
+        "contributor", F.regexp_extract("url", r"site(\d+)", 1).cast("long")
+    )
+    tiles9 = tile_aggregate(pages, res=9, cell_col="cell")
+    ladder = tile_ladder(tiles9, 9, 5).toPandas()
+    totals = ladder.groupby("res")["n_edits"].sum()
+    assert totals.nunique() == 1  # every level conserves total edits
+    # cell count shrinks (or stays) as res decreases
+    sizes = ladder.groupby("res").size()
+    for r in range(6, 10):
+        assert sizes[r] >= sizes[r - 1]
+
+
+def test_parallelism_invariance(spark, sf_dir):
+    """L4: output identical across partitioning (local shuffle=2 vs 8)."""
+    from osm_data_classification_spark.io import table_checksum
+    from osm_data_classification_spark.jobs_api import flagship
+
+    df = flagship(spark, sf_dir)
+    h1 = table_checksum(df.drop("activity_hist"))
+    df2 = flagship(spark, sf_dir).repartition(3)
+    h2 = table_checksum(df2.drop("activity_hist"))
+    assert h1 == h2

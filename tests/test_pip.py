@@ -1,0 +1,101 @@
+"""L1 kernel tests for ray-cast PIP vs brute-force / known geometry."""
+
+import numpy as np
+
+from osm_data_classification_spark.geo.pip import PackedPolygons
+
+
+def square(bid, x0, y0, x1, y1, reverse=False):
+    xs = [x0, x1, x1, x0, x0]
+    ys = [y0, y0, y1, y1, y0]
+    if reverse:
+        xs, ys = xs[::-1], ys[::-1]
+    return (bid, 0, 0, xs, ys)
+
+
+def test_simple_square():
+    p = PackedPolygons.from_rows([square(1, 0, 0, 10, 10)])
+    px = np.array([5.0, -1.0, 10.5, 0.5, 9.99])
+    py = np.array([5.0, 5.0, 5.0, 0.5, 9.99])
+    got = p.contains(np.zeros(5, dtype=np.int64), px, py)
+    assert got.tolist() == [True, False, False, True, True]
+
+
+def test_orientation_irrelevant():
+    cw = PackedPolygons.from_rows([square(1, 0, 0, 10, 10)])
+    ccw = PackedPolygons.from_rows([square(1, 0, 0, 10, 10, reverse=True)])
+    px = np.random.default_rng(42).uniform(-2, 12, 200)
+    py = np.random.default_rng(43).uniform(-2, 12, 200)
+    b = np.zeros(200, dtype=np.int64)
+    assert np.array_equal(cw.contains(b, px, py), ccw.contains(b, px, py))
+
+
+def test_hole_flips_parity():
+    outer = square(1, 0, 0, 10, 10)
+    hole = (1, 0, 1, [4, 6, 6, 4, 4], [4, 4, 6, 6, 4])
+    p = PackedPolygons.from_rows([outer, hole])
+    b = np.zeros(3, dtype=np.int64)
+    got = p.contains(b, np.array([5.0, 3.0, 6.5]), np.array([5.0, 3.0, 6.5]))
+    assert got.tolist() == [False, True, True]  # in hole / in solid / in solid
+
+
+def test_multipart():
+    p = PackedPolygons.from_rows(
+        [square(1, 0, 0, 2, 2), (1, 1, 0, [10, 12, 12, 10, 10], [0, 0, 2, 2, 0])]
+    )
+    b = np.zeros(3, dtype=np.int64)
+    got = p.contains(b, np.array([1.0, 11.0, 5.0]), np.array([1.0, 1.0, 1.0]))
+    assert got.tolist() == [True, True, False]
+
+
+def test_concave():
+    # L-shape: big square minus top-right quadrant (as concave outline)
+    xs = [0, 10, 10, 5, 5, 0, 0]
+    ys = [0, 0, 5, 5, 10, 10, 0]
+    p = PackedPolygons.from_rows([(1, 0, 0, xs, ys)])
+    b = np.zeros(4, dtype=np.int64)
+    got = p.contains(
+        b, np.array([2.0, 7.0, 7.0, 2.0]), np.array([2.0, 2.0, 7.0, 7.0])
+    )
+    assert got.tolist() == [True, True, False, True]
+
+
+def test_antimeridian_unwrapped():
+    # ring spanning 179..181 (unwrapped); a point at lon=-179.5 is inside
+    p = PackedPolygons.from_rows(
+        [(1, 0, 0, [179, 181, 181, 179, 179], [0, 0, 2, 2, 0])]
+    )
+    b = np.zeros(3, dtype=np.int64)
+    got = p.contains(
+        b, np.array([-179.5, 179.5, 178.0]), np.array([1.0, 1.0, 1.0])
+    )
+    assert got.tolist() == [True, True, False]
+
+
+def test_jitter_stability_property():
+    """Property: verdict is stable under 1e-12 jitter away from edges
+    (SURVEY.md §5.2 property tests)."""
+    rng = np.random.default_rng(7)
+    n = 12
+    ang = np.linspace(0, 2 * np.pi, n + 1)
+    xs = (5 + 3 * np.cos(ang)).tolist()
+    ys = (5 + 3 * np.sin(ang)).tolist()
+    p = PackedPolygons.from_rows([(1, 0, 0, xs, ys)])
+    px = rng.uniform(0, 10, 500)
+    py = rng.uniform(0, 10, 500)
+    b = np.zeros(500, dtype=np.int64)
+    base = p.contains(b, px, py)
+    jit = p.contains(b, px + 1e-12, py + 1e-12)
+    assert (base == jit).mean() > 0.999
+
+
+def test_cell_cover_contains_inside_points():
+    from osm_data_classification_spark.geo.cells import encode_np
+
+    p = PackedPolygons.from_rows([square(7, 10, 40, 12, 42)])
+    cover_cells, cover_bids = p.cell_cover(8)
+    assert set(cover_bids) == {7}
+    pts_lon = np.linspace(10.01, 11.99, 30)
+    pts_lat = np.linspace(40.01, 41.99, 30)
+    enc = encode_np(pts_lon, pts_lat, 8)
+    assert np.all(np.isin(enc, cover_cells))

@@ -1,0 +1,99 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship query is the metric stage from BASELINE.json:2 — the
+spatial-join + tiling trace — so the line also carries its throughput
+in pages/sec. Scaling-efficiency evidence (same job at local[8] vs
+local[32]) is produced by ``tools/bench_scaling.py`` → BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+# fan-out factor for the synthesized pages table (sf0.1 documents ~5k
+# rows -> ~200k pages + crawl chains); override for scaling runs
+MULTIPLIER = int(os.environ.get("SPARK_GRAFT_MULTIPLIER", "40"))
+
+# catalog entries that exercise each heavy operator family at sf0.1
+HEADLINE = [
+    "agg_user_features",      # A3 wide per-user groupBy
+    "window_version_chain",   # W1 partitioned sort + lead/lag
+    "star_join_3way",         # J3 chained broadcast joins
+    "agg_element_meta",       # A1 per-key hash agg over lineitem
+    "geo_pip_join",           # J5 broadcast PIP (coarse + Arrow refine)
+    "geo_knn_join",           # J6 grid kNN
+    "geo_tile_agg",           # A7 two-phase tile aggregation
+    "dedup_minhash_lsh",      # MinHash+LSH near-dup (training-data op)
+    "ann_cosine_topk",        # similarity search over embeddings
+    "text_quality_score",     # text-analysis pipeline op
+]
+
+
+def main() -> None:
+    os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
+    from osm_data_classification_spark.catalog import full_catalog
+    from osm_data_classification_spark.jobs_api import flagship
+    from osm_data_classification_spark.session import get_spark
+
+    spark = get_spark("bench", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    cat = full_catalog()
+
+    timings: dict[str, float] = {}
+
+    # --- flagship: spatial-join + tiling (the BASELINE.json metric) ------
+    # warm-up once so JVM/Python-worker startup isn't attributed to it
+    flagship(spark, SF_DIR, multiplier=1).count()
+    t0 = time.perf_counter()
+    df = flagship(spark, SF_DIR, multiplier=MULTIPLIER)
+    n_tiles = df.count()
+    flagship_s = time.perf_counter() - t0
+    # pages processed = input rows of the trace (crawl fan-out included)
+    from osm_data_classification_spark.sources.pages import synth_pages
+
+    n_pages = synth_pages(spark, SF_DIR, multiplier=MULTIPLIER).count()
+    timings["flagship_spatial_tiling"] = round(flagship_s, 3)
+
+    for name in HEADLINE:
+        spec = cat.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.fn(spark, SF_DIR).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline-suite wall time (flagship spatial-join+tiling + operator suite)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]),
+                "flagship_pages": n_pages,
+                "flagship_tiles": n_tiles,
+                "flagship_pages_per_sec": round(n_pages / flagship_s, 1),
+                "cpus": int(CPUS),
+                "multiplier": MULTIPLIER,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -32,9 +32,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.window import Window
 
 from ..geo.cells import (
-    RES_BITS_SHIFT,
     cell_encode_col,
-    cell_from_xy_col,
     cell_parent_col,
     cell_size_deg,
     xy_cols,
@@ -92,24 +90,46 @@ def pip_join(
 # ---------------------------------------------------------------------------
 
 
+def _grid_key(x: Column, y: Column) -> Column:
+    """Flat (x,y) join key for kNN's internal equi-join. Deliberately NOT
+    the Morton cell id: the hierarchical id's bit-spread expression tree
+    is large (it exists for parent/rollup arithmetic, which a join key
+    never needs), and inlining it 9× per k-ring probe made Janino
+    whole-stage-codegen compile time dominate small stages. res≤15 ⇒
+    x,y < 2^15, so ``x<<20 | y`` is collision-free and three codegen ops."""
+    return F.shiftleft(x, 20).bitwiseOR(y)
+
+
 def _explode_kring(
     df: DataFrame, lon_col: str, lat_col: str, res: int, ring: int
 ) -> DataFrame:
-    """Add one row per k-ring neighbor cell of each input row's cell.
-    x wraps (anti-meridian), y clamps (poles) — mirrors kring_np."""
+    """Add one row per k-ring neighbor cell of each input row's cell,
+    keyed by :func:`_grid_key`. x wraps (anti-meridian), y clamps
+    (poles) — mirrors kring_np. The (dx,dy) offsets are exploded as a
+    literal array FIRST and the key computed once per output row, so
+    the plan carries one small key expression instead of (2r+1)²
+    inlined copies."""
     n = 1 << res
     x, y = xy_cols(F.col(lon_col), F.col(lat_col), res)
-    neighbor_cells = []
-    for dx in range(-ring, ring + 1):
-        for dy in range(-ring, ring + 1):
-            nx = F.pmod(x + F.lit(dx), F.lit(n))
-            ny = y + F.lit(dy)
-            cell = cell_from_xy_col(nx, ny, res)
-            neighbor_cells.append(
-                F.when((ny >= 0) & (ny < n), cell).otherwise(F.lit(None))
-            )
-    arr = F.array_compact(F.array(*neighbor_cells))
-    return df.withColumn("__cell", F.explode(arr))
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in range(-ring, ring + 1)
+            for dy in range(-ring, ring + 1)
+        ]
+    )
+    out = (
+        df.withColumn("__x", x)
+        .withColumn("__y", y)
+        .withColumn("__o", F.explode(offsets))
+        .withColumn("__ny", F.col("__y") + F.col("__o.dy"))
+        .filter((F.col("__ny") >= 0) & (F.col("__ny") < n))
+        .withColumn(
+            "__cell",
+            _grid_key(F.pmod(F.col("__x") + F.col("__o.dx"), F.lit(n)), F.col("__ny")),
+        )
+    )
+    return out.drop("__x", "__y", "__o", "__ny")
 
 
 def _cert_bound_sq(lon_col: str, lat_col: str, res: int, ring: int) -> Column:
@@ -151,6 +171,7 @@ def knn_join(
     ring: int = 1,
     id_col: str = "qid",
     cand_id_col: str = "cid",
+    persist: bool = True,
 ) -> DataFrame:
     """Exact k-nearest-neighbor join (planar squared-degree metric).
 
@@ -162,18 +183,29 @@ def knn_join(
       1. ring pass — probe cells exploded to the (2*ring+1)² block,
          equi-joined to candidates on cell, per-probe top-k window;
          a probe is CERTIFIED iff it found ≥k candidates and its kth
-         distance is within the block-boundary bound.
+         distance is within the block-boundary bound. Certification is
+         a second window over the SAME partition key (id_col), so
+         Catalyst reuses the top-k exchange — no extra shuffle.
       2. fallback — uncertified probes (border cases, sparse cells)
          re-scored against the full candidate set. At production scale
          this is the rare tail, and would itself be staged as a wider
          ring pass; correctness never depends on density assumptions.
+
+    ``persist`` caches the k·|probes|-row top-k intermediate, which is
+    consumed by three branches (certified rows, certified-id set, the
+    anti-join). It is output-sized — the thing you would checkpoint on
+    a real cluster — and without it Catalyst re-executes the ring join
+    per branch. Pick ``res`` so that a ring block holds ≳k candidates
+    (see :func:`knn_auto_res`); too fine a grid certifies nothing and
+    everything falls through to the fallback scan.
     """
     qlon, qlat = "lon", "lat"
+    cx, cy = xy_cols(F.col("__clon"), F.col("__clat"), res)
     cand = candidates.select(
         F.col(cand_id_col),
         F.col("lon").alias("__clon"),
         F.col("lat").alias("__clat"),
-    ).withColumn("__cell", cell_encode_col(F.col("__clon"), F.col("__clat"), res))
+    ).withColumn("__cell", _grid_key(cx, cy))
 
     probes_p = probes.select(id_col, qlon, qlat)
 
@@ -192,21 +224,39 @@ def knn_join(
     pass1 = topk(ringed.join(cand, "__cell")).withColumn(
         "__cert_sq", _cert_bound_sq(qlon, qlat, res, ring)
     )
-    per_probe = pass1.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.max("dist_sq").alias("__kth"),
-        F.first("__cert_sq").alias("__cert"),
+    if persist:
+        pass1 = pass1.persist()
+    wp = Window.partitionBy(id_col)
+    pass1 = pass1.withColumn("__n", F.count(F.lit(1)).over(wp)).withColumn(
+        "__kth", F.max("dist_sq").over(wp)
     )
-    certified_ids = per_probe.filter(
-        (F.col("__n") >= k) & (F.col("__kth") <= F.col("__cert"))
-    ).select(id_col)
-    certified = pass1.join(F.broadcast(certified_ids), id_col, "left_semi")
+    ok = (F.col("__n") >= k) & (F.col("__kth") <= F.col("__cert_sq"))
+    certified = pass1.filter(ok)
+    certified_ids = certified.select(id_col).distinct()
 
     uncert_probes = probes_p.join(F.broadcast(certified_ids), id_col, "left_anti")
-    fallback = topk(uncert_probes.crossJoin(cand.drop("__cell")))
+    # broadcast hint => BroadcastNestedLoopJoin, which keeps the (small)
+    # uncertified side's partitioning instead of a 32×32-task cartesian
+    fallback = topk(uncert_probes.crossJoin(F.broadcast(cand.drop("__cell"))))
 
     out_cols = [id_col, cand_id_col, "dist_sq", "rank"]
     return certified.select(*out_cols).unionByName(fallback.select(*out_cols))
+
+
+def knn_auto_res(n_candidates: int, k: int, ring: int = 1) -> int:
+    """Coarsest-that-still-partitions grid resolution for a kNN join:
+    the res where one ring block is expected to hold ~4k candidates
+    under a uniform spread — enough to certify most probes while
+    keeping per-cell work bounded. Density skew beyond that is handled
+    by the certification/fallback machinery, not the res choice."""
+    import math
+
+    block = (2 * ring + 1) ** 2
+    for res in range(12, 0, -1):
+        cells = (1 << res) ** 2
+        if n_candidates * block / cells >= 4 * k:
+            return res
+    return 1
 
 
 # ---------------------------------------------------------------------------

@@ -13,7 +13,13 @@ from pyspark.sql import functions as F
 
 from ..geo.cells import cell_encode_col
 from ..io import lineage_rows
-from ..operators.geo_ops import knn_join, pip_join, tile_aggregate, tile_ladder
+from ..operators.geo_ops import (
+    knn_auto_res,
+    knn_join,
+    pip_join,
+    tile_aggregate,
+    tile_ladder,
+)
 from ..operators.relational import QuerySpec
 from ..sources.boundaries import packed_boundaries
 from ..sources.pages import geocoded_pages
@@ -58,8 +64,9 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = geocoded_pages(spark, sf_dir, res=6).dropDuplicates(["url"])
     pts = pages.select(
         F.xxhash64("url").alias("qid"), "lon", "lat"
-    )
-    return knn_join(pts, pts.withColumnRenamed("qid", "cid"), k=5, res=6)
+    ).persist()
+    res = knn_auto_res(pts.count(), k=5)
+    return knn_join(pts, pts.withColumnRenamed("qid", "cid"), k=5, res=res)
 
 
 @_register("geo_tile_agg")

@@ -1,0 +1,416 @@
+"""Deduplication operators for the training-data pipeline.
+
+Web-corpus dedup is the canonical pre-training data job; the engine
+ships the full ladder — exact, n-gram Jaccard, MinHash+LSH, SimHash,
+and embedding-cosine — each as a Catalyst-native plan over the
+driver's `documents`/`embeddings` tables with a full DuckDB oracle
+(shared integer/portable-hash arithmetic, operators/portable.py).
+
+Because the synthetic corpus has no natural duplicates, every query
+first PLANTS deterministic duplicates (same construction in the Spark
+plan and the oracle SQL): docs 0–49 get a near-dup copy at
+doc_id+10000 with the first token dropped; docs 0–24 get an exact
+copy at doc_id+20000. A dedup operator that returns the planted pairs
+(and only deterministic extras) is value-hash-verified end to end.
+
+Scale notes: the LSH path is the 10^12-row design — signature agg is
+one shuffle keyed by doc, band join is an equi-join on (band, key)
+whose fan-out is bounded by band width, and the exact-Jaccard verify
+only touches candidate pairs. The n-gram self-join is the quadratic
+baseline kept for parity testing at small SF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .portable import PHASH, PMIX, perm_params, phash_col, pmix_col
+from .relational import QuerySpec
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, sql=None):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# planted-duplicate corpus (shared Spark/SQL construction)
+# ---------------------------------------------------------------------------
+
+N_NEAR, NEAR_OFF = 50, 10_000
+N_EXACT, EXACT_OFF = 25, 20_000
+
+CORPUS_SQL = f"""
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {NEAR_OFF}, regexp_replace(text, '^\\S+\\s+', '')
+        FROM documents WHERE doc_id < {N_NEAR}
+        UNION ALL
+        SELECT doc_id + {EXACT_OFF}, text FROM documents WHERE doc_id < {N_EXACT}
+"""
+
+
+def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    near = docs.filter(F.col("doc_id") < N_NEAR).select(
+        (F.col("doc_id") + NEAR_OFF).alias("doc_id"),
+        F.regexp_replace("text", r"^\S+\s+", "").alias("text"),
+    )
+    exact = docs.filter(F.col("doc_id") < N_EXACT).select(
+        (F.col("doc_id") + EXACT_OFF).alias("doc_id"), "text"
+    )
+    return docs.unionByName(near).unionByName(exact)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup (hash-groupBy)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_exact",
+    f"""
+    WITH corpus AS ({CORPUS_SQL})
+    SELECT md5(text) AS fp, min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM corpus GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash-groupBy on the content fingerprint; the
+    kept id is the min — a single shuffle keyed by fingerprint, the
+    exact shape that scales (no pairwise anything)."""
+    c = corpus(spark, sf_dir)
+    return (
+        c.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# word-n-gram shingles (shared by Jaccard + MinHash)
+# ---------------------------------------------------------------------------
+
+NGRAM = 3
+
+SHINGLES_SQL = f"""
+        SELECT doc_id, unnest(
+            list_transform(
+                generate_series(1, greatest(0, length(string_split_regex(trim(text), '\\s+')) - {NGRAM - 1})),
+                i -> concat_ws(' ',
+                     string_split_regex(trim(text), '\\s+')[i],
+                     string_split_regex(trim(text), '\\s+')[i+1],
+                     string_split_regex(trim(text), '\\s+')[i+2])
+            )) AS shingle
+        FROM corpus
+"""
+
+
+def shingles(c: DataFrame) -> DataFrame:
+    """(doc_id, shingle) — word 3-grams; docs shorter than NGRAM tokens
+    produce no rows (mirrors the SQL's empty generate_series)."""
+    toks = F.split(F.trim("text"), r"\s+")
+    sh = F.when(
+        F.size(toks) >= NGRAM,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - NGRAM),
+            lambda i: F.concat_ws(
+                " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return c.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+DISTINCT_SHINGLES_SQL = f"""
+    shingled AS ({SHINGLES_SQL}),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+JACCARD_PAIRS_SQL = """
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS n_inter
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    jac AS (
+        SELECT da, db,
+               (n_inter * 1000) // (sa.n + sb.n - n_inter) AS jaccard_x1000
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = da
+        JOIN sizes sb ON sb.doc_id = db
+    )
+"""
+
+
+def _jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard over distinct-shingle sets. ``pairs`` (da, db)
+    restricts the computation to candidate pairs (the LSH verify path);
+    None means all pairs sharing ≥1 shingle (the quadratic baseline)."""
+    sh = sh.distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("da"), "shingle")
+    b = sh.select(F.col("doc_id").alias("db"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["da", "db"], "left_semi")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .select(
+            "da",
+            "db",
+            F.expr("(n_inter * 1000) div (na + nb - n_inter)").alias("jaccard_x1000"),
+        )
+    )
+
+
+JACCARD_THRESH = 500
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    {DISTINCT_SHINGLES_SQL},
+    {JACCARD_PAIRS_SQL}
+    SELECT da, db, jaccard_x1000 FROM jac WHERE jaccard_x1000 >= {JACCARD_THRESH}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard dedup — the quadratic baseline: self-join
+    on shingle, integer-scaled Jaccard, threshold. Kept for parity
+    testing; the scale path is dedup_minhash_lsh."""
+    sh = shingles(corpus(spark, sf_dir))
+    return _jaccard_pairs(sh).filter(F.col("jaccard_x1000") >= JACCARD_THRESH)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_PERM, N_BANDS = 16, 4
+ROWS_PER_BAND = N_PERM // N_BANDS
+PERMS = perm_params(N_PERM)
+
+
+def _minhash_sql() -> str:
+    mins = ",\n               ".join(
+        f"min({PMIX(PHASH('shingle'), a, b)}) AS mh{i}"
+        for i, (a, b) in enumerate(PERMS)
+    )
+    band_rows = []
+    for bnd in range(N_BANDS):
+        cols = ", ".join(f"mh{bnd * ROWS_PER_BAND + j}" for j in range(ROWS_PER_BAND))
+        band_rows.append(
+            f"SELECT doc_id, {bnd} AS band, concat_ws('_', {cols}) AS bkey FROM sig"
+        )
+    bands = "\n        UNION ALL\n        ".join(band_rows)
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    {DISTINCT_SHINGLES_SQL},
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+        {bands}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    ),
+    {JACCARD_PAIRS_SQL}
+    SELECT j.da, j.db, j.jaccard_x1000
+    FROM jac j JOIN cand c ON j.da = c.da AND j.db = c.db
+    WHERE j.jaccard_x1000 >= {JACCARD_THRESH}
+    """
+
+
+@_register("dedup_minhash_lsh", _minhash_sql())
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup detection — the 10^12-row design:
+    shingle→minhash signature (one shuffle keyed by doc), band→bucket
+    equi-join for candidates, exact-Jaccard verify on candidates only.
+    16 permutations, 4 bands × 4 rows (~s-curve threshold ≈ 0.5)."""
+    sh = shingles(corpus(spark, sf_dir)).distinct()
+    h = phash_col(F.col("shingle"))
+    sig = sh.groupBy("doc_id").agg(
+        *[F.min(pmix_col(h, a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(PERMS)]
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(bnd).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"mh{bnd * ROWS_PER_BAND + j}")
+                        for j in range(ROWS_PER_BAND)
+                    ],
+                ).alias("bkey"),
+            )
+            for bnd in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band", "b.bkey"
+    )
+    a = bands.select(F.col("doc_id").alias("da"), "band", "bkey")
+    b = bands.select(F.col("doc_id").alias("db"), "band", "bkey")
+    cand = (
+        a.join(b, ["band", "bkey"]).filter(F.col("da") < F.col("db")).select("da", "db").distinct()
+    )
+    return _jaccard_pairs(sh, pairs=cand).filter(
+        F.col("jaccard_x1000") >= JACCARD_THRESH
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+
+
+_TOK_UNNEST_SQL = "unnest(string_split_regex(trim(text), '\\s+'))"
+
+
+def _simhash_sql() -> str:
+    tok_hash = PHASH(_TOK_UNNEST_SQL)
+    votes = ",\n               ".join(
+        f"sum(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    tok AS (
+        SELECT doc_id, {tok_hash} AS h
+        FROM corpus
+    ),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, {bits} AS simhash FROM votes
+    """
+
+
+@_register("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (32-bit, TF-weighted bit votes over token
+    hashes). One groupBy; near-dup pairing is hamming distance on the
+    signature (tests/test_dedup.py) — at scale, banded on signature
+    bytes exactly like MinHash bands."""
+    c = corpus(spark, sf_dir)
+    tok = c.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
+    ).select("doc_id", phash_col(F.col("tok")).alias("h"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+COS_THRESH_X1000 = 990
+EMB_DIM = 64
+EMB_OFF = 10_000
+N_EMB_DUP = 20
+
+EMB_CORPUS_SQL = f"""
+        SELECT vec_id, label, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {EMB_OFF}, label, embedding FROM embeddings
+        WHERE vec_id < {N_EMB_DUP}
+"""
+
+
+@_register(
+    "dedup_embedding_cosine",
+    f"""
+    WITH corpus AS ({EMB_CORPUS_SQL}),
+    pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb,
+               a.embedding AS ea, b.embedding AS eb
+        FROM corpus a JOIN corpus b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    dots AS (
+        SELECT va, vb,
+               CAST(sum(CAST(round(CAST(ea[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE), 12) AS DECIMAL(38,15))) AS DOUBLE) AS dot,
+               CAST(sum(CAST(round(CAST(ea[i] AS DOUBLE) * CAST(ea[i] AS DOUBLE), 12) AS DECIMAL(38,15))) AS DOUBLE) AS na,
+               CAST(sum(CAST(round(CAST(eb[i] AS DOUBLE) * CAST(eb[i] AS DOUBLE), 12) AS DECIMAL(38,15))) AS DOUBLE) AS nb
+        FROM pairs, generate_series(1, {EMB_DIM}) AS g(i)
+        GROUP BY va, vb
+    )
+    SELECT va, vb,
+           CAST(floor(1000.0 * dot / (sqrt(na) * sqrt(nb))) AS BIGINT) AS cos_x1000
+    FROM dots
+    WHERE floor(1000.0 * dot / (sqrt(na) * sqrt(nb))) >= {COS_THRESH_X1000}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: label-blocked pair generation (the
+    coarse partitioner — at scale an LSH/IVF bucket id), exact cosine
+    refine with order-insensitive decimal dot products, integer-floored
+    threshold. 20 planted copies must all surface at cos_x1000=1000."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dup = emb.filter(F.col("vec_id") < N_EMB_DUP).select(
+        (F.col("vec_id") + EMB_OFF).alias("vec_id"), "label", "embedding"
+    )
+    c = emb.select("vec_id", "label", "embedding").unionByName(dup)
+    a = c.select(F.col("vec_id").alias("va"), "label", F.col("embedding").alias("ea"))
+    b = c.select(F.col("vec_id").alias("vb"), "label", F.col("embedding").alias("eb"))
+    pairs = a.join(b, "label").filter(F.col("va") < F.col("vb"))
+
+    def dsum_prod(x: Column, y: Column) -> Column:
+        prods = F.zip_with(x, y, lambda p, q: F.round(p.cast("double") * q.cast("double"), 12))
+        return F.aggregate(
+            prods,
+            F.lit(0).cast("decimal(38,15)"),
+            lambda acc, v: (acc + v.cast("decimal(38,15)")).cast("decimal(38,15)"),
+        ).cast("double")
+
+    dots = pairs.select(
+        "va",
+        "vb",
+        dsum_prod(F.col("ea"), F.col("eb")).alias("dot"),
+        dsum_prod(F.col("ea"), F.col("ea")).alias("na"),
+        dsum_prod(F.col("eb"), F.col("eb")).alias("nb"),
+    )
+    cos = F.floor(F.lit(1000.0) * F.col("dot") / (F.sqrt("na") * F.sqrt("nb")))
+    return dots.select(
+        "va", "vb", cos.cast("long").alias("cos_x1000")
+    ).filter(F.col("cos_x1000") >= COS_THRESH_X1000)

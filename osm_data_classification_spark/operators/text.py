@@ -1,0 +1,240 @@
+"""Text-analysis operators for the training-data pipeline.
+
+The north-star payload is Common-Crawl-style web text (BASELINE.json:15);
+these are the per-document analyses a large-scale training-data
+pipeline runs before dedup/filtering: token statistics, quality
+scoring, language identification, and document fingerprinting. The
+reference repo has no text stage (it processes OSM history `[U]`), so
+these are graft-payload additions, built Catalyst-native: tokenization
+is `split`/`explode`, every ratio is integer-scaled (engine-exact, see
+operators/portable.py), and the only hash is the portable md5-based
+one — no Python in any of these plans.
+
+All four run over the driver's `documents` table and carry full DuckDB
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .portable import PHASH, phash_col
+from .relational import QuerySpec
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, sql=None):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn, sql)
+        return fn
+
+    return deco
+
+
+def tokens_col(text):
+    """Whitespace tokenization — the shared definition for every text
+    operator (and the BPE-ish regex variant below)."""
+    return F.split(F.trim(text), r"\s+")
+
+
+TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+
+# word-piece-ish segmentation: runs of letters, runs of digits, or a
+# single non-space symbol — a deterministic stand-in for BPE pre-tokenization
+BPE_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+STOPWORDS = ("the", "a", "of", "and")  # tiny fixed list, shared with SQL
+
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           length({TOKENS_SQL}) AS n_tokens,
+           length(list_distinct({TOKENS_SQL})) AS n_distinct,
+           length(regexp_extract_all(text, '{BPE_RE}')) AS n_subtokens,
+           (length(replace(text, ' ', '')) * 1000) // length({TOKENS_SQL})
+               AS avg_token_len_x1000
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, BPE-ish
+    subtokens (regex segmentation), and integer-scaled mean token
+    length. Single projection — no shuffle, no Python."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), 0)).alias("n_subtokens"),
+        F.expr(
+            "(length(replace(text, ' ', '')) * 1000) div size(split(trim(text), '\\\\s+'))"
+        ).alias("avg_token_len_x1000"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+_STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@_register(
+    "text_quality_score",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+    ),
+    agg AS (
+        SELECT doc_id,
+               count(*) AS n_tokens,
+               count(DISTINCT tok) AS n_distinct,
+               sum(CASE WHEN tok IN ({_STOP_IN}) THEN 1 ELSE 0 END) AS n_stop
+        FROM tok GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           a.n_tokens,
+           (a.n_stop * 1000) // a.n_tokens AS stop_ratio_x1000,
+           (a.n_distinct * 1000) // a.n_tokens AS ttr_x1000,
+           CASE WHEN d.n_chars BETWEEN 100 AND 10000 THEN 1 ELSE 0 END AS len_ok,
+           ((a.n_distinct * 1000) // a.n_tokens
+             + (1000 - (a.n_stop * 1000) // a.n_tokens)
+             + CASE WHEN d.n_chars BETWEEN 100 AND 10000 THEN 1000 ELSE 0 END)
+             // 3 AS quality_x1000
+    FROM documents d JOIN agg a USING (doc_id)
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, type-token ratio, length gate,
+    combined into one integer-scaled score — the length/punct/stopword
+    heuristics of web-corpus filtering, all engine-exact integers."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    agg = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+        F.sum(F.when(F.col("tok").isin(*STOPWORDS), 1).otherwise(0)).alias("n_stop"),
+    )
+    stop_ratio = F.expr("(n_stop * 1000) div n_tokens")
+    ttr = F.expr("(n_distinct * 1000) div n_tokens")
+    len_ok = F.when(F.col("n_chars").between(100, 10000), 1).otherwise(0)
+    return (
+        docs.join(agg, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            stop_ratio.alias("stop_ratio_x1000"),
+            ttr.alias("ttr_x1000"),
+            len_ok.alias("len_ok"),
+            (
+                (ttr + (F.lit(1000) - stop_ratio) + len_ok * 1000)
+                .cast("long")
+            ).alias("__qsum"),
+        )
+        .withColumn("quality_x1000", F.expr("__qsum div 3"))
+        .drop("__qsum")
+    )
+
+
+# ---------------------------------------------------------------------------
+# language identification (marker-token scoring)
+# ---------------------------------------------------------------------------
+
+# classic stopword-profile scoring; deterministic function of the text
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "les", "des", "et"),
+}
+
+
+def _lang_sql() -> str:
+    score_cols = []
+    for lg, markers in LANG_MARKERS.items():
+        inlist = ", ".join(f"'{m}'" for m in markers)
+        score_cols.append(
+            f"sum(CASE WHEN tok IN ({inlist}) THEN 1 ELSE 0 END) AS s_{lg}"
+        )
+    scores = ",\n               ".join(score_cols)
+    # argmax with fixed tie-break order en > de > es > fr
+    pred = (
+        "CASE GREATEST(s_en, s_de, s_es, s_fr) WHEN 0 THEN 'und' "
+        "WHEN s_en THEN 'en' WHEN s_de THEN 'de' WHEN s_es THEN 'es' "
+        "ELSE 'fr' END"
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+    ),
+    sc AS (
+        SELECT doc_id,
+               {scores}
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, s_en, s_de, s_es, s_fr,
+           {pred} AS pred_lang
+    FROM sc
+    """
+
+
+@_register("text_lang_id", _lang_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-token (stopword-profile) scoring with a
+    fixed argmax tie-break — the n-gram-heuristic shape of fastText-style
+    lang-ID, expressed as one groupBy with conditional sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    aggs = [
+        F.sum(F.when(F.col("tok").isin(*markers), 1).otherwise(0)).alias(f"s_{lg}")
+        for lg, markers in LANG_MARKERS.items()
+    ]
+    sc = tok.groupBy("doc_id").agg(*aggs)
+    best = F.greatest(*[F.col(f"s_{lg}") for lg in LANG_MARKERS])
+    pred = F.when(best == 0, "und")
+    for lg in LANG_MARKERS:  # first max wins: en > de > es > fr
+        pred = pred.when(F.col(f"s_{lg}") == best, lg)
+    return sc.select(
+        "doc_id", "s_en", "s_de", "s_es", "s_fr", pred.alias("pred_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+
+
+_CANON_SQL = "lower(regexp_replace(text, '\\s+', ' ', 'g'))"
+
+
+@_register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5({_CANON_SQL}) AS fp_md5,
+           {PHASH(_CANON_SQL)} AS fp60
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form document fingerprint: lowercase + whitespace
+    collapse, then md5 (exact-dedup key) and the 60-bit portable
+    integer hash (join-key form). Pure projection."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = F.lower(F.regexp_replace("text", r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(canon).alias("fp_md5"),
+        phash_col(canon).alias("fp60"),
+    )

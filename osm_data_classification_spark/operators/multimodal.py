@@ -1,0 +1,180 @@
+"""Multimodal (binary-column) plumbing for the training-data pipeline.
+
+Images/audio/video ride through the engine as opaque `binary` columns
+with typed metadata — the north-star's pages table already carries
+`html:binary` (BASELINE.json:15). The Spark-side plumbing here is
+real and tested: schemas, Arrow batch shapes, `mapInPandas` iterator
+UDFs, multi-row-per-input frame explosion. The *codec* step is stubbed
+(no image/audio libraries exist in this environment): `decode_stub`
+raises NotImplementedError for real formats and provides a
+deterministic fake feature extractor so the distributed pipeline is
+exercisable end to end.
+
+`mm_binary_meta` is fully oracle-checked (metadata is pure SQL); the
+decode/frame ops are rows-only for the driver and parity-tested against
+a single-threaded oracle in tests/test_multimodal.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .relational import QuerySpec
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, sql=None):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# binary metadata (fully relational)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "mm_binary_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           md5(text) AS content_md5,
+           substr(text, 1, 4) AS magic
+    FROM documents
+    """,
+)
+def mm_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over an opaque binary payload: byte length,
+    content digest, magic-prefix sniff. Pure projection — metadata
+    extraction at 10^12 rows never leaves the JVM. (The documents
+    text stands in for the binary payload so DuckDB can check values;
+    the pages table's real `html:binary` goes through the same plan.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.md5("text").alias("content_md5"),
+        F.substring("text", 1, 4).alias("magic"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# decode stub + fake feature extraction (mapInPandas)
+# ---------------------------------------------------------------------------
+
+N_FEATURES = 8
+REAL_MAGICS = (b"\x89PNG", b"\xff\xd8\xff", b"RIFF", b"\x00\x00\x00\x18")
+
+
+def decode_stub(payload: bytes) -> dict:
+    """STUB — real decode is NotImplemented in this environment (no
+    PIL/ffmpeg/librosa baked in). Real media magics raise so nobody
+    mistakes the fake for a codec; everything else produces a
+    deterministic fake decode: dimensions and features derived from
+    the payload's sha256, so results are reproducible across
+    partitionings and parallelism levels."""
+    if payload[:4] in REAL_MAGICS or payload[:3] in REAL_MAGICS:
+        raise NotImplementedError(
+            "real media decoding requires an image/audio library; "
+            "plug a codec into decode_stub()"
+        )
+    h = hashlib.sha256(payload).digest()
+    feats = [
+        int.from_bytes(h[4 + 4 * i : 8 + 4 * i], "big") / 2**32
+        for i in range(N_FEATURES)
+    ]
+    return {
+        "width": 16 + h[0] % 240,
+        "height": 16 + h[1] % 240,
+        "features": feats,
+    }
+
+
+MM_FEATURES_SCHEMA = (
+    "doc_id long, n_bytes int, width int, height int, features array<double>"
+)
+
+
+def extract_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """Distributed decode/feature-extract: Arrow-batched iterator UDF,
+    one Python worker pass, no per-row Python on the JVM side. The
+    batch shape (iterator of pandas DataFrames) is the production
+    contract — a real codec drops into decode_stub unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [decode_stub(b) for b in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "n_bytes": [len(b) for b in pdf[bin_col]],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "features": [d["features"] for d in decoded],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, MM_FEATURES_SCHEMA)
+
+
+@_register("mm_decode_features")  # rows-only: decode is not SQL-expressible
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return extract_features(docs)
+
+
+# ---------------------------------------------------------------------------
+# frame sampling (1 binary row -> N frame rows)
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 64
+MAX_FRAMES = 4
+
+MM_FRAMES_SCHEMA = "doc_id long, frame_idx int, frame_md5 string"
+
+
+def sample_frames(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload") -> DataFrame:
+    """Frame sampling: each payload is chunked into fixed-size frames
+    and up to MAX_FRAMES evenly-spaced ones are emitted as rows —
+    the row-explosion shape of video frame extraction, as an iterator
+    pandas UDF producing more rows than it consumes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                n_frames = max(1, len(payload) // FRAME_BYTES)
+                take = min(MAX_FRAMES, n_frames)
+                for j in range(take):
+                    # evenly spaced frame indices, deterministic
+                    fi = (j * n_frames) // take
+                    chunk = payload[fi * FRAME_BYTES : (fi + 1) * FRAME_BYTES]
+                    ids.append(doc_id)
+                    idxs.append(fi)
+                    digests.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_md5": digests}
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(run, MM_FRAMES_SCHEMA)
+
+
+@_register("mm_frame_sample")  # rows-only
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return sample_frames(docs)

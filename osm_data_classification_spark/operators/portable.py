@@ -48,6 +48,29 @@ def PMIX(expr: str, a: int, b: int) -> str:
     return f"(({a} * (({expr}) % {MOD30}) + {b}) % {PMIX_P})"
 
 
+def dec_dot_col(x: Column, y: Column, scale: int = 12) -> Column:
+    """Order-insensitive dot product of two float arrays: each pairwise
+    product is rounded to ``scale`` decimals and summed as DECIMAL (a
+    sequential fold, but the rounding makes ANY order produce the same
+    decimal), returned as double. This is what makes cosine/L2 values
+    hash-identical between Spark and DuckDB regardless of partitioning."""
+    prods = F.zip_with(x, y, lambda p, q: F.round(p.cast("double") * q.cast("double"), scale))
+    return F.aggregate(
+        prods,
+        F.lit(0).cast("decimal(38,15)"),
+        lambda acc, v: (acc + v.cast("decimal(38,15)")).cast("decimal(38,15)"),
+    ).cast("double")
+
+
+def DEC_SUM_PROD(a_elem: str, b_elem: str, scale: int = 12) -> str:
+    """DuckDB aggregate-position mirror of one :func:`dec_dot_col` term:
+    use inside ``sum(...)`` grouped over a ``generate_series`` index."""
+    return (
+        f"CAST(sum(CAST(round(CAST({a_elem} AS DOUBLE) * CAST({b_elem} AS DOUBLE),"
+        f" {scale}) AS DECIMAL(38,15))) AS DOUBLE)"
+    )
+
+
 def perm_params(n: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for n MinHash permutations — a simple
     LCG so Spark and SQL sides share the exact constants with no RNG

@@ -1,0 +1,331 @@
+"""Similarity search over the embedding column (`array<float>`).
+
+The training-data-pipeline ANN surface: brute-force cosine top-k as
+the exact baseline, a random-hyperplane LSH-bucketed variant, and an
+IVF (inverted-file, coarse-quantizer) variant as the scale paths.
+Everything is relational — signatures and bucket assignment are
+integer arithmetic over portable hashes, dot products use the
+order-insensitive decimal fold (operators/portable.py), so all three
+carry full DuckDB oracles.
+
+Scale notes: brute-force is O(Q·N) and exists for verification; LSH
+turns the search into an equi-join on bucket id (shuffle bounded by
+bucket fan-out); IVF prunes to nprobe=1 cluster via a broadcast
+centroid table — the same plan shapes these run at 10^9 vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+from .portable import DEC_SUM_PROD, dec_dot_col
+from .relational import QuerySpec
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, sql=None):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn, sql)
+        return fn
+
+    return deco
+
+
+N_QUERIES = 10  # probe set: vec_id < 10
+TOP_K = 5
+EMB_DIM = 64
+
+_PAIR_DOTS_SQL = f"""
+    dots AS (
+        SELECT qid, cid,
+               {DEC_SUM_PROD('eq[i]', 'ec[i]')} AS dot,
+               {DEC_SUM_PROD('eq[i]', 'eq[i]')} AS nq,
+               {DEC_SUM_PROD('ec[i]', 'ec[i]')} AS nc
+        FROM pairs, generate_series(1, {EMB_DIM}) AS g(i)
+        GROUP BY qid, cid
+    ),
+    scored AS (
+        SELECT qid, cid,
+               CAST(floor(1000000.0 * dot / (sqrt(nq) * sqrt(nc))) AS BIGINT)
+                   AS cos_x1e6
+        FROM dots
+    )
+"""
+
+
+def _pair_dots(pairs: DataFrame) -> DataFrame:
+    """(qid, cid, cos_x1e6) from (qid, eq, cid, ec) pairs — Spark twin
+    of the SQL CTE above."""
+    dots = pairs.select(
+        "qid",
+        "cid",
+        dec_dot_col(F.col("eq"), F.col("ec")).alias("dot"),
+        dec_dot_col(F.col("eq"), F.col("eq")).alias("nq"),
+        dec_dot_col(F.col("ec"), F.col("ec")).alias("nc"),
+    )
+    cos = F.floor(F.lit(1000000.0) * F.col("dot") / (F.sqrt("nq") * F.sqrt("nc")))
+    return dots.select("qid", "cid", cos.cast("long").alias("cos_x1e6"))
+
+
+def _rank_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_x1e6"), F.asc("cid"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+_RANK_SQL = f"""
+    SELECT qid, cid, cos_x1e6,
+           row_number() OVER (PARTITION BY qid ORDER BY cos_x1e6 DESC, cid ASC)
+               AS rank
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# brute-force cosine top-k (exact baseline)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ann_cosine_topk",
+    f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS qid, q.embedding AS eq,
+               c.vec_id AS cid, c.embedding AS ec
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    {_PAIR_DOTS_SQL}
+    {_RANK_SQL}
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: Q probe vectors against the full
+    candidate set (broadcast the probes — the big side streams), exact
+    decimal dot products, per-probe window rank. The verification
+    baseline for both approximate variants."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("eq")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ec"))
+    pairs = c.crossJoin(F.broadcast(q))
+    return _rank_topk(_pair_dots(pairs))
+
+
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH bucketing
+# ---------------------------------------------------------------------------
+
+N_PLANES = 4  # 16 buckets over 500 vectors ≈ 31 candidates per probe
+
+
+def _plane_w_sql(m: str, d: str) -> str:
+    """Integer hyperplane weight in [-1000, 1000]: derived from the
+    portable hash of 'm:d' — both engines compute the identical plane."""
+    return (
+        f"(CAST('0x' || substr(md5(CAST({m} AS VARCHAR) || ':' || "
+        f"CAST({d} AS VARCHAR)), 1, 15) AS BIGINT) % 2001) - 1000"
+    )
+
+
+def _planes(spark: SparkSession) -> DataFrame:
+    """(m, d, w) hyperplane table — built with Column expressions so the
+    weights match the SQL formula bit-for-bit."""
+    m = F.expr(f"explode(sequence(0, {N_PLANES - 1}))").alias("m")
+    base = spark.range(1, EMB_DIM + 1).select(F.col("id").alias("d"), m)
+    w = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("m").cast("string"), F.lit(":"), F.col("d").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    return base.select("m", "d", w.alias("w"))
+
+
+_SIG_SQL = f"""
+    planes AS (
+        SELECT m, d, {_plane_w_sql('m', 'd')} AS w
+        FROM generate_series(0, {N_PLANES - 1}) AS pm(m),
+             generate_series(1, {EMB_DIM}) AS pd(d)
+    ),
+    proj AS (
+        SELECT e.vec_id, p.m,
+               {DEC_SUM_PROD('e.embedding[p.d]', 'p.w')} AS dot
+        FROM embeddings e, planes p
+        GROUP BY e.vec_id, p.m
+    ),
+    sig AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN dot > 0 THEN 1 << m ELSE 0 END) AS BIGINT)
+                   AS bucket
+        FROM proj GROUP BY vec_id
+    )
+"""
+
+
+def _signatures(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(vec_id, bucket) — explode embedding dims, join the broadcast
+    plane table, per-(vec, plane) decimal dot, sign bits → bucket id."""
+    dims = emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("d", F.col("pos") + 1)
+    proj = (
+        dims.join(F.broadcast(_planes(spark)), "d")
+        .groupBy("vec_id", "m")
+        .agg(
+            F.sum(
+                F.round(F.col("x").cast("double") * F.col("w").cast("double"), 12).cast(
+                    "decimal(38,15)"
+                )
+            )
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    return proj.groupBy("vec_id").agg(
+        F.sum(
+            F.when(F.col("dot") > 0, F.expr("shiftleft(1, CAST(m AS INT))")).otherwise(0)
+        )
+        .cast("long")
+        .alias("bucket")
+    )
+
+
+@_register(
+    "ann_lsh_bucketed",
+    f"""
+    WITH {_SIG_SQL},
+    pairs AS (
+        SELECT q.vec_id AS qid, qe.embedding AS eq,
+               c.vec_id AS cid, ce.embedding AS ec
+        FROM sig q
+        JOIN sig c ON q.bucket = c.bucket
+        JOIN embeddings qe ON qe.vec_id = q.vec_id
+        JOIN embeddings ce ON ce.vec_id = c.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ),
+    {_PAIR_DOTS_SQL}
+    {_RANK_SQL}
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN: random-hyperplane signatures (integer planes
+    from the portable hash), candidates = same-bucket equi-join, exact
+    cosine rerank within the bucket. The 10^9-vector plan: signature is
+    one narrow shuffle, search is an equi-join instead of a cross join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = _signatures(spark, emb)
+    qs = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "bucket"
+    )
+    cs = sig.select(F.col("vec_id").alias("cid"), "bucket")
+    cand = qs.join(cs, "bucket").select("qid", "cid")
+    ev = emb.select("vec_id", "embedding")
+    pairs = (
+        cand.join(ev.withColumnRenamed("vec_id", "qid").withColumnRenamed("embedding", "eq"), "qid")
+        .join(ev.withColumnRenamed("vec_id", "cid").withColumnRenamed("embedding", "ec"), "cid")
+    )
+    return _rank_topk(_pair_dots(pairs))
+
+
+# ---------------------------------------------------------------------------
+# IVF (coarse-quantizer) search, nprobe=1
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "ann_ivf_topk",
+    f"""
+    WITH cent AS (
+        SELECT label, i,
+               {DEC_SUM_PROD('embedding[i]', '1.0')} / count(*) AS c
+        FROM embeddings, generate_series(1, {EMB_DIM}) AS g(i)
+        GROUP BY label, i
+    ),
+    qdist AS (
+        SELECT e.vec_id AS qid, c.label,
+               sum(CAST(round((CAST(e.embedding[c.i] AS DOUBLE) - c.c)
+                              * (CAST(e.embedding[c.i] AS DOUBLE) - c.c), 12)
+                        AS DECIMAL(38,15))) AS d2
+        FROM embeddings e, cent c
+        WHERE e.vec_id < {N_QUERIES}
+        GROUP BY e.vec_id, c.label
+    ),
+    assign AS (
+        SELECT qid, label,
+               row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, label ASC) AS rn
+        FROM qdist QUALIFY rn = 1
+    ),
+    pairs AS (
+        SELECT a.qid, qe.embedding AS eq, ce.vec_id AS cid, ce.embedding AS ec
+        FROM assign a
+        JOIN embeddings qe ON qe.vec_id = a.qid
+        JOIN embeddings ce ON ce.label = a.label
+    ),
+    {_PAIR_DOTS_SQL}
+    {_RANK_SQL}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with nprobe=1: coarse centroids are the per-label means
+    (at scale: KMeans centroids), each probe searches only its nearest
+    centroid's inverted list. Centroid table is broadcast; the probe→
+    list lookup is an equi-join on label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("pos", "x")
+    ).withColumn("i", F.col("pos") + 1)
+    cent = dims.groupBy("label", "i").agg(
+        (
+            F.sum(F.round(F.col("x").cast("double"), 12).cast("decimal(38,15)")).cast(
+                "double"
+            )
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    qdims = dims.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "i", "x"
+    )
+    diff = F.col("x").cast("double") - F.col("c")
+    qdist = (
+        qdims.join(F.broadcast(cent), "i")
+        .groupBy("qid", "label")
+        .agg(
+            F.sum(F.round(diff * diff, 12).cast("decimal(38,15)")).alias("d2")
+        )
+    )
+    wa = Window.partitionBy("qid").orderBy(F.asc("d2"), F.asc("label"))
+    assign = (
+        qdist.withColumn("rn", F.row_number().over(wa)).filter(F.col("rn") == 1).select("qid", "label")
+    )
+    ev = emb.select("vec_id", "label", "embedding")
+    pairs = (
+        assign.join(
+            ev.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("eq")),
+            "qid",
+        )
+        .join(
+            ev.select(
+                F.col("vec_id").alias("cid"),
+                F.col("label"),
+                F.col("embedding").alias("ec"),
+            ),
+            "label",
+        )
+        .select("qid", "eq", "cid", "ec")
+    )
+    return _rank_topk(_pair_dots(pairs))

@@ -1,0 +1,97 @@
+"""Dedup-ladder properties beyond the driver's oracle check: planted
+recall, SimHash hamming behavior, MinHash candidate quality."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_data_classification_spark.operators import dedup
+
+
+def test_exact_dedup_finds_all_planted(spark, sf_dir):
+    out = dedup.dedup_exact(spark, sf_dir).collect()
+    from osm_data_classification_spark.io import load_table
+
+    n_planted = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < dedup.N_EXACT)
+        .count()
+    )
+    assert len(out) == n_planted
+    for r in out:
+        assert r["n_copies"] == 2
+        assert r["keep_id"] < dedup.N_EXACT  # canonical id is the original
+
+
+def test_minhash_recall_of_exact_dups(spark, sf_dir):
+    """Exact copies have Jaccard 1.0 — identical signatures in every
+    band — so MinHash+LSH must recover ALL of them."""
+    pairs = {
+        (r["da"], r["db"])
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    docs = {r["doc_id"] for r in dedup.corpus(spark, sf_dir).select("doc_id").collect()}
+    expected = {
+        (d, d + dedup.EXACT_OFF)
+        for d in range(dedup.N_EXACT)
+        if d in docs and (d + dedup.EXACT_OFF) in docs
+    }
+    missing = expected - pairs
+    assert not missing, f"LSH missed exact-dup pairs: {missing}"
+
+
+def test_minhash_candidates_subset_of_jaccard(spark, sf_dir):
+    """LSH output ⊆ exhaustive-Jaccard output (same threshold): LSH may
+    miss pairs (probabilistic recall) but never invents similarity."""
+    lsh = {
+        (r["da"], r["db"], r["jaccard_x1000"])
+        for r in dedup.dedup_minhash_lsh(spark, sf_dir).collect()
+    }
+    full = {
+        (r["da"], r["db"], r["jaccard_x1000"])
+        for r in dedup.dedup_ngram_jaccard(spark, sf_dir).collect()
+    }
+    assert lsh <= full
+
+
+def test_simhash_hamming_separates_dups(spark, sf_dir):
+    sig = {r["doc_id"]: r["simhash"] for r in dedup.dedup_simhash(spark, sf_dir).collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    # exact copies: identical signature
+    for d in range(dedup.N_EXACT):
+        if d in sig and d + dedup.EXACT_OFF in sig:
+            assert sig[d] == sig[d + dedup.EXACT_OFF]
+    # near copies (one token dropped): small hamming distance
+    near = [
+        hamming(sig[d], sig[d + dedup.NEAR_OFF])
+        for d in range(dedup.N_NEAR)
+        if d in sig and d + dedup.NEAR_OFF in sig
+    ]
+    assert near and max(near) <= 6
+    # unrelated docs: typically far apart
+    ids = sorted(k for k in sig if k < dedup.N_NEAR)
+    far = [hamming(sig[a], sig[b]) for a, b in zip(ids, ids[1:])]
+    assert sum(far) / len(far) > 6
+
+
+def test_embedding_cosine_planted(spark, sf_dir):
+    out = {(r["va"], r["vb"]): r["cos_x1000"] for r in
+           dedup.dedup_embedding_cosine(spark, sf_dir).collect()}
+    planted = [
+        (d, d + dedup.EMB_OFF) for d in range(dedup.N_EMB_DUP) if (d, d + dedup.EMB_OFF) in out
+    ]
+    assert len(planted) == dedup.N_EMB_DUP
+    # identical vectors: cosine 1.0, but the decimal product rounding can
+    # floor the x1000 value to 999
+    assert all(out[p] >= 999 for p in planted)
+
+
+@pytest.mark.parametrize("n", [0, 1, 2])
+def test_shingles_short_docs(spark, n):
+    """Docs shorter than NGRAM tokens produce no shingles (not an error)."""
+    df = spark.createDataFrame([(1, " ".join(["w"] * n))], "doc_id long, text string")
+    assert dedup.shingles(df).count() == 0

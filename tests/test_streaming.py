@@ -1,0 +1,148 @@
+"""Structured Streaming under a real readStream: file source split
+into multiple trigger batches, availableNow processing, memory sink —
+streaming results must equal the batch run of the identical
+transformation (SURVEY.md §2.9)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_data_classification_spark.io import load_table
+from osm_data_classification_spark.streaming import (
+    session_agg,
+    stream_dedup,
+    stream_events,
+    tumbling_daily,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, sf_dir):
+    """events split into 4 parquet files so maxFilesPerTrigger=1 yields
+    4 incremental micro-batches."""
+    d = tempfile.mkdtemp(prefix="stream_src_")
+    load_table(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(d)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _run_stream(spark, df, mode: str):
+    name = "sink_" + uuid.uuid4().hex[:8]
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_stream_"))
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_daily_stream_equals_batch(spark, sf_dir, events_dir):
+    stream = stream_events(spark, events_dir)
+    got = _run_stream(spark, tumbling_daily(stream, watermark="40 days"), "complete")
+    batch = tumbling_daily(load_table(spark, sf_dir, "events"), watermark="40 days")
+    cols = ["day", "user_id", "n_events"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_session_agg_stream_equals_batch(spark, sf_dir, events_dir):
+    stream = stream_events(spark, events_dir)
+    got = _run_stream(spark, session_agg(stream, watermark="40 days"), "complete")
+    batch = session_agg(load_table(spark, sf_dir, "events"), watermark="40 days")
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _rows(got, cols) == _rows(batch, cols)
+
+
+def test_stream_dedup_no_duplicate_ids(spark, sf_dir, events_dir):
+    """Feed the same files twice (union of two streams of the same dir
+    would re-read; instead duplicate rows within the watermark window
+    by unioning the source with itself via a second directory)."""
+    d2 = tempfile.mkdtemp(prefix="stream_dup_")
+    try:
+        # two copies of every file → every event_id appears twice
+        for f in os.listdir(events_dir):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(events_dir, f), os.path.join(d2, "a_" + f))
+                shutil.copy(os.path.join(events_dir, f), os.path.join(d2, "b_" + f))
+        stream = stream_events(spark, d2, max_files=2)
+        got = _run_stream(spark, stream_dedup(stream, watermark="40 days"), "append")
+        n_unique = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+        assert got.select("event_id").distinct().count() == got.count()
+        assert got.count() == n_unique
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_late_data_beyond_watermark_dropped(spark):
+    """Controlled arrival order: batch 1 advances the watermark far past
+    an old event that then arrives in batch 2 → the late event must NOT
+    appear in the aggregation (bounded state is the point of the
+    watermark at 10^12-row scale)."""
+    sch = (
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = tempfile.mkdtemp(prefix="late_src_")
+    try:
+        on_time = spark.createDataFrame(
+            [(1, "2024-01-10 12:00:00", 1, "a", 1.0, "{}"),
+             (2, "2024-01-20 12:00:00", 1, "a", 1.0, "{}")],
+            sch,
+        ).withColumn("ts", F.to_timestamp("ts"))
+        on_time.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f1"))
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string, "
+                "value double, props string"
+            )
+            .parquet(src + "/*")
+        )
+        # append mode + live query: the first batch advances the
+        # watermark to Jan-20 11:00; the late file arrives in a LATER
+        # micro-batch, so its Jan-1 row targets a window that is
+        # already closed and must be dropped.
+        name = "late_" + uuid.uuid4().hex[:8]
+        q = (
+            tumbling_daily(stream, watermark="1 hour")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_late_"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()  # batch 0: on-time file, watermark advances
+            late = spark.createDataFrame(
+                [(3, "2024-01-01 12:00:00", 1, "a", 1.0, "{}")],  # 19 days late
+                sch,
+            ).withColumn("ts", F.to_timestamp("ts"))
+            late.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "f2"))
+            q.processAllAvailable()  # batch with the late row
+            days = {r["day"].day for r in spark.table(name).collect()}
+        finally:
+            q.stop()
+        assert 10 in days  # closed by the Jan-20 event advancing the watermark
+        assert 1 not in days  # late event dropped by the watermark
+        assert 20 not in days  # its window never closed → still in state
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+
+
+def test_watermark_present_in_plan(spark, events_dir):
+    stream = stream_events(spark, events_dir)
+    plan = tumbling_daily(stream)._jdf.queryExecution().analyzed().toString()
+    assert "EventTimeWatermark" in plan

@@ -57,6 +57,14 @@ CORPUS_SQL = f"""
 """
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Spread a few-split base table across the cluster BEFORE a
+    row-multiplying explode (shingles fan ~150x) — one tiny shuffle of
+    the pre-fan-out rows buys full map-side parallelism downstream
+    (cf. sources/pages.py)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism, "doc_id")
+
+
 def corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     near = docs.filter(F.col("doc_id") < N_NEAR).select(
@@ -153,20 +161,31 @@ JACCARD_PAIRS_SQL = """
 
 def _jaccard_pairs(sh: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard over distinct-shingle sets. ``pairs`` (da, db)
-    restricts the computation to candidate pairs (the LSH verify path);
-    None means all pairs sharing ≥1 shingle (the quadratic baseline)."""
-    sh = sh.distinct()
+    restricts the computation to candidate pairs (the LSH verify path):
+    the candidate set is joined in BEFORE the shingle-shingle join, so
+    the verify cost is O(|candidates| · shingles-per-doc), not the
+    quadratic all-pairs join. None = all pairs sharing ≥1 shingle (the
+    quadratic baseline that LSH exists to avoid).
+
+    Precondition: ``sh`` is already distinct per (doc_id, shingle) —
+    callers pass the persisted distinct shingle table."""
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("da"), "shingle")
     b = sh.select(F.col("doc_id").alias("db"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("da") < F.col("db"))
-        .groupBy("da", "db")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["da", "db"], "left_semi")
+        inter = (
+            pairs.join(a, "da")
+            .join(b, ["db", "shingle"])
+            .groupBy("da", "db")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("da") < F.col("db"))
+            .groupBy("da", "db")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
         .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
@@ -194,7 +213,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard dedup — the quadratic baseline: self-join
     on shingle, integer-scaled Jaccard, threshold. Kept for parity
     testing; the scale path is dedup_minhash_lsh."""
-    sh = shingles(corpus(spark, sf_dir))
+    sh = shingles(spread(corpus(spark, sf_dir))).distinct().persist()
     return _jaccard_pairs(sh).filter(F.col("jaccard_x1000") >= JACCARD_THRESH)
 
 
@@ -248,7 +267,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle→minhash signature (one shuffle keyed by doc), band→bucket
     equi-join for candidates, exact-Jaccard verify on candidates only.
     16 permutations, 4 bands × 4 rows (~s-curve threshold ≈ 0.5)."""
-    sh = shingles(corpus(spark, sf_dir)).distinct()
+    # the distinct shingle set feeds four branches (signatures, both
+    # sides of the Jaccard verify, the size table); persist it once —
+    # at production scale this is the checkpointed shingle table
+    sh = shingles(spread(corpus(spark, sf_dir))).distinct().persist()
     h = phash_col(F.col("shingle"))
     sig = sh.groupBy("doc_id").agg(
         *[F.min(pmix_col(h, a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(PERMS)]
@@ -321,7 +343,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes). One groupBy; near-dup pairing is hamming distance on the
     signature (tests/test_dedup.py) — at scale, banded on signature
     bytes exactly like MinHash bands."""
-    c = corpus(spark, sf_dir)
+    c = spread(corpus(spark, sf_dir))
     tok = c.select(
         "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok")
     ).select("doc_id", phash_col(F.col("tok")).alias("h"))

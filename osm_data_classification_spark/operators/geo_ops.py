@@ -294,23 +294,36 @@ def tile_aggregate(
         F.col("lang").alias("__lang"),
         dow.alias("__dow"),
     )
-    # phase 1: partial per (cell, uid, url) — spreads mega-cells
-    partial = base.groupBy("cell", "__uid", "__url").agg(
-        F.count(F.lit(1)).alias("__n"),
-        *[
-            F.sum(F.when(F.col("__lang") == lg, 1).otherwise(0)).alias(f"__n_{lg}")
-            for lg in LANGS
-        ],
-        *[
-            F.sum(F.when(F.col("__dow") == d, 1).otherwise(0)).alias(f"__d{d}")
-            for d in range(1, 8)
-        ],
+    lang_sums = [
+        F.sum(F.when(F.col("__lang") == lg, 1).otherwise(0)).alias(f"__n_{lg}")
+        for lg in LANGS
+    ]
+    dow_sums = [
+        F.sum(F.when(F.col("__dow") == d, 1).otherwise(0)).alias(f"__d{d}")
+        for d in range(1, 8)
+    ]
+    # Three distinct-free phases instead of groupBy(cell).countDistinct:
+    # two countDistinct aggregates would make Catalyst Expand the input
+    # 3x and funnel each mega-cell into one reduce group — the exact
+    # skew the north-star warns about. Here every phase is an ordinary
+    # partial-aggregatable sum/count and the shuffle keys walk
+    # (cell,url) → (cell,uid) → cell, so a mega-cell's rows spread
+    # over the whole cluster in phases 1-2 and phase 3 only sees
+    # #contributors rows per cell. (A url has one contributor — its
+    # site — so distinct urls per cell = Σ per-uid distinct urls.)
+    p1 = base.groupBy("cell", "__uid", "__url").agg(
+        F.count(F.lit(1)).alias("__n"), *lang_sums, *dow_sums
     )
-    # phase 2: final per cell
-    return partial.groupBy("cell").agg(
+    p2 = p1.groupBy("cell", "__uid").agg(
+        F.count(F.lit(1)).alias("__n_urls"),
+        F.sum("__n").alias("__n"),
+        *[F.sum(f"__n_{lg}").alias(f"__n_{lg}") for lg in LANGS],
+        *[F.sum(f"__d{d}").alias(f"__d{d}") for d in range(1, 8)],
+    )
+    return p2.groupBy("cell").agg(
         F.sum("__n").alias("n_edits"),
-        F.countDistinct("__uid").alias("n_contributors"),
-        F.countDistinct("__url").alias("n_urls"),
+        F.count(F.lit(1)).alias("n_contributors"),
+        F.sum("__n_urls").alias("n_urls"),
         *[F.sum(f"__n_{lg}").alias(f"n_{lg}") for lg in LANGS],
         F.array(*[F.sum(f"__d{d}") for d in range(1, 8)]).alias("activity_hist"),
     )

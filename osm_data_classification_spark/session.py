@@ -60,7 +60,10 @@ def get_spark(
         # --- misc -------------------------------------------------------
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # single-JVM local mode: driver heap is ALL executor memory too;
+        # size it so 32 concurrent tasks' hash aggregations don't GC-thrash
+        # (the box has 128 GiB — SURVEY.md Appendix A)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

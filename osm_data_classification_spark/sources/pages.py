@@ -58,6 +58,14 @@ def synth_pages(
     identical across parallelism levels and re-runs.
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    # The base table is one small parquet file => one input split; the
+    # explode below fans each row out `multiplier`x, so without this
+    # repartition the entire map side (synth + geocode + encode + PIP
+    # refine) would run as a single task. Spreading the *pre-fan-out*
+    # rows is a cheap shuffle (|documents| rows) that makes the heavy
+    # map side scale with the cluster; on a real 10^12-row crawl the
+    # source is already thousands of splits and this is a no-op choice.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
     pages = docs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(multiplier - 1))).alias("rep"),

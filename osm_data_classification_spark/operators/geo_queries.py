@@ -1,9 +1,13 @@
 """Catalog entries for the geo operators (SURVEY.md §2 J5/J6/J9/A7/A8).
 
-DuckDB cannot express the cell/PIP/kNN kernels, so these are rows-only
-entries for the driver (__spark_entry__.py:35–36); their real
-correctness gates are the L1/L3 pytest suites (tests/test_geo_spark.py)
-which compare against the single-threaded numpy oracle bit-for-bit.
+The cell-encode and tile-aggregation queries carry FULL DuckDB oracles:
+the Morton cell id is pure integer/double arithmetic and the pages
+table is a pure function of `documents`, so the oracle re-synthesizes
+pages, geocodes, encodes and aggregates independently in SQL
+(geo/cells_sql.py) and the driver value-hashes both sides. The
+ray-cast PIP and kNN kernels are not SQL-expressible — those stay
+rows-only here, gated bit-for-bit by the numpy-oracle pytest suites
+(tests/test_geo_spark.py, tests/test_pip.py).
 """
 
 from __future__ import annotations
@@ -12,6 +16,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..geo.cells import cell_encode_col
+from ..geo.cells_sql import (
+    CELL_PARENT_SQL,
+    CELL_SQL,
+    PAGES_SQL,
+    RES_BITS_SHIFT,
+    SPREAD,
+    X_SQL,
+    Y_SQL,
+)
 from ..io import lineage_rows
 from ..operators.geo_ops import (
     knn_auto_res,
@@ -35,11 +48,34 @@ def _register(name: str, sql=None):
     return deco
 
 
-@_register("geo_cell_encode")
+def _cell_encode_sql() -> str:
+    # hierarchy trick keeps the SQL compact: x_r = x_12 >> (12-r)
+    # (floor-of-floor), so one x/y pair at res 12 yields every ladder level
+    cells = ",\n           ".join(
+        f"({r << RES_BITS_SHIFT} | {SPREAD(f'(x12 >> {12 - r})')} "
+        f"| ({SPREAD(f'(y12 >> {12 - r})')} << 1)) AS cell_r{r}"
+        for r in range(5, 13)
+    )
+    return f"""
+    WITH {PAGES_SQL},
+    xy AS (
+        SELECT url, warc_ts,
+               {X_SQL('lon', 12)} AS x12,
+               {Y_SQL('lat', 12)} AS y12
+        FROM pages
+    )
+    SELECT url, warc_ts,
+           {cells}
+    FROM xy
+    """
+
+
+@_register("geo_cell_encode", _cell_encode_sql())
 def geo_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.8 geo scalars: batched cell encoding at res 5–12 over the
     geocoded pages — one JVM-side expression per resolution, single
-    pass (BASELINE.json:6 'batched H3/S2 cell encoding')."""
+    pass (BASELINE.json:6 'batched H3/S2 cell encoding'). Full oracle:
+    DuckDB re-derives the pages and Morton ids from scratch."""
     pages = geocoded_pages(spark, sf_dir, res=7)
     cols = [
         cell_encode_col(F.col("lon"), F.col("lat"), r).alias(f"cell_r{r}")
@@ -69,18 +105,80 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(pts, pts.withColumnRenamed("qid", "cid"), k=5, res=res)
 
 
-@_register("geo_tile_agg")
+_LANGS = ("en", "es", "de", "fr", "zh")
+_LANG_SUMS = ",\n           ".join(
+    f"sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS n_{lg}" for lg in _LANGS
+)
+_HIST = (
+    "["
+    + ", ".join(
+        f"sum(CASE WHEN dayofweek(warc_ts) + 1 = {d} THEN 1 ELSE 0 END)"
+        for d in range(1, 8)
+    )
+    + "] AS activity_hist"
+)
+
+
+@_register(
+    "geo_tile_agg",
+    f"""
+    WITH {PAGES_SQL},
+    pc AS (SELECT *, {CELL_SQL('lon', 'lat', 7)} AS cell FROM pages)
+    SELECT cell,
+           count(*) AS n_edits,
+           count(DISTINCT contributor) AS n_contributors,
+           count(DISTINCT url) AS n_urls,
+           {_LANG_SUMS},
+           {_HIST}
+    FROM pc GROUP BY cell
+    """,
+)
 def geo_tile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A7: per-tile contributor/edit-count feature vectors at res 7."""
+    """A7: per-tile contributor/edit-count feature vectors at res 7.
+    Full oracle: DuckDB aggregates the independently re-synthesized,
+    re-encoded pages — the 'tile-to-cell assignments bit-for-bit' gate
+    (BASELINE.json:6) run by the driver every round."""
     pages = geocoded_pages(spark, sf_dir, res=7).withColumn(
         "contributor", F.regexp_extract("url", r"site(\d+)", 1).cast("long")
     )
     return tile_aggregate(pages, res=7, cell_col="cell")
 
 
-@_register("rollup_res_ladder")
+def _ladder_sql() -> str:
+    base = f"""
+    WITH {PAGES_SQL},
+    p9 AS (
+        SELECT {CELL_SQL('lon', 'lat', 9)} AS cell, lang,
+               dayofweek(warc_ts) + 1 AS dow
+        FROM pages
+    ),
+    hist_sums AS (
+        SELECT cell,
+               count(*) AS n_edits,
+               {_LANG_SUMS},
+               {", ".join(f"sum(CASE WHEN dow = {d} THEN 1 ELSE 0 END) AS h{d}" for d in range(1, 8))}
+        FROM p9 GROUP BY cell
+    )
+    """
+    levels = []
+    for r in range(9, 4, -1):
+        parent = CELL_PARENT_SQL("cell", 9, r)
+        levels.append(
+            f"""SELECT {parent} AS cell,
+               sum(n_edits) AS n_edits,
+               {", ".join(f"sum(n_{lg}) AS n_{lg}" for lg in _LANGS)},
+               [{", ".join(f"sum(h{d})" for d in range(1, 8))}] AS activity_hist,
+               {r} AS res
+        FROM hist_sums GROUP BY 1"""
+        )
+    return base + "\n        UNION ALL\n        ".join(levels)
+
+
+@_register("rollup_res_ladder", _ladder_sql())
 def rollup_res_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8: resolution ladder 9→5 by pure parent-cell arithmetic."""
+    """A8: resolution ladder 9→5 by pure parent-cell arithmetic. Full
+    oracle: DuckDB rolls the same ladder up from its own res-9 tiles
+    (additive sums are associative, so level-by-level == direct)."""
     pages = geocoded_pages(spark, sf_dir, res=9).withColumn(
         "contributor", F.regexp_extract("url", r"site(\d+)", 1).cast("long")
     )

@@ -1,0 +1,100 @@
+"""Catalog entries for J9 (salted join) and S4 (text extraction with
+the byte-identity invariant).
+
+The salted join is oracle-checked the strongest possible way: salting
+is a pure physical rewrite, so the DuckDB oracle is simply the PLAIN
+join — if salting changed any row, the value hash would differ.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..sources.pages import synth_pages
+from .relational import QuerySpec
+from .skew import salted_join
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, sql=None):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn, sql)
+        return fn
+
+    return deco
+
+
+@_register(
+    "skew_salted_join",
+    """
+    WITH dim AS (
+        SELECT user_id, count(*) AS user_n FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, d.user_n
+    FROM events e JOIN dim d USING (user_id)
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: fact side salted on a deterministic row hash, dim side
+    replicated nsalt×. The oracle is the unsalted join — value-hash
+    equality IS the 'salting changes nothing' proof, run by the driver
+    on every round."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_n"))
+    out = salted_join(
+        ev.select("event_id", "user_id"), dim, on=["user_id"], nsalt=8
+    )
+    return out.select("event_id", "user_id", "user_n")
+
+
+# ---------------------------------------------------------------------------
+# S4: html -> text extraction (BASELINE.json:6 byte-identical text per url)
+# ---------------------------------------------------------------------------
+
+EXTRACT_SCHEMA = "url string, warc_ts timestamp, extracted string"
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """Deterministic html→text extractor over the binary payload —
+    Arrow-batched iterator UDF (the trafilatura/jusText slot in a real
+    crawl pipeline; the synthetic html is `<html><body>{text}</body>
+    </html>`, so extraction is exact and byte-stable)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = []
+            for payload in pdf["html"]:
+                s = bytes(payload).decode("utf-8", errors="replace")
+                start = s.find("<body>")
+                end = s.rfind("</body>")
+                texts.append(s[start + 6 : end] if 0 <= start < end else "")
+            yield pd.DataFrame(
+                {"url": pdf["url"], "warc_ts": pdf["warc_ts"], "extracted": texts}
+            )
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(run, EXTRACT_SCHEMA)
+
+
+@_register("pages_text_extract")  # rows-only: pages table not in DuckDB
+def pages_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 + the per-row invariant: extract text from every crawl of
+    every url and assert byte-identity per url (BASELINE.json:6). The
+    output is one row per url with its crawl count and whether all
+    crawls extracted identical bytes — the pipeline gate is
+    `min(identical) = true`, tested in tests/test_text_extract.py."""
+    pages = synth_pages(spark, sf_dir)
+    ext = extract_text(pages)
+    return (
+        ext.groupBy("url")
+        .agg(
+            F.count(F.lit(1)).alias("n_crawls"),
+            (F.countDistinct(F.md5("extracted")) == 1).alias("identical"),
+            F.min(F.md5("extracted")).alias("text_md5"),
+        )
+    )

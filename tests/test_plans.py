@@ -1,0 +1,97 @@
+"""Plan-quality gates (SURVEY.md §4): pushdown, pruning, broadcast,
+codegen, shuffle counts — asserted, not hoped for."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_data_classification_spark.catalog import full_catalog
+from osm_data_classification_spark.io import load_table
+from osm_data_classification_spark.operators.geo_ops import pip_join, tile_aggregate
+from osm_data_classification_spark.plans import audit
+from osm_data_classification_spark.sources.boundaries import packed_boundaries
+from osm_data_classification_spark.sources.pages import geocoded_pages
+
+
+def _q(name):
+    return full_catalog()[name].fn
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = _q("filter_lang_en")(spark, sf_dir)
+    pushed = " ".join(audit.pushed_filters(df))
+    assert "lang" in pushed, f"lang filter not pushed: {pushed!r}"
+
+
+def test_projection_prunes_read_schema(spark, sf_dir):
+    df = _q("scan_pages")(spark, sf_dir)
+    cols = audit.read_schema_columns(df)
+    assert "text" not in cols, f"text should be pruned, read: {cols}"
+    assert cols <= {"doc_id", "lang", "n_chars"}
+
+
+def test_small_dim_join_broadcasts(spark, sf_dir):
+    df = _q("join_orders_customer")(spark, sf_dir)
+    kinds = audit.join_kinds(df)
+    assert "BroadcastHashJoin" in kinds, kinds
+    assert "SortMergeJoin" not in kinds, kinds
+
+
+def test_star_join_all_broadcast_no_shuffle(spark, sf_dir):
+    df = _q("star_join_3way")(spark, sf_dir)
+    kinds = audit.join_kinds(df)
+    assert kinds.count("BroadcastHashJoin") >= 2, kinds
+
+
+def test_pip_coarse_join_is_broadcast(spark, sf_dir):
+    pages = geocoded_pages(spark, sf_dir, res=7)
+    cand = pip_join(pages, packed_boundaries(50), res=7, refine=False)
+    kinds = audit.join_kinds(cand)
+    assert kinds == ["BroadcastHashJoin"], kinds
+    # the points side never shuffles for the PIP join (SURVEY.md §4.2)
+    assert audit.count_exchanges(cand) <= 1  # only the synth repartition
+
+
+def test_pip_refine_is_single_arrow_stage(spark, sf_dir):
+    pages = geocoded_pages(spark, sf_dir, res=7)
+    refined = pip_join(pages, packed_boundaries(50), res=7)
+    assert audit.has_python_stage(refined)
+    # refine adds NO exchange on top of the coarse join
+    coarse = pip_join(pages, packed_boundaries(50), res=7, refine=False)
+    assert audit.count_exchanges(refined) == audit.count_exchanges(coarse)
+
+
+def test_tile_agg_three_phase_exchanges(spark, sf_dir):
+    pages = geocoded_pages(spark, sf_dir, res=7).withColumn(
+        "contributor", F.regexp_extract("url", r"site(\d+)", 1).cast("long")
+    )
+    tiles = tile_aggregate(pages, res=7, cell_col="cell")
+    # synth repartition + (cell,uid,url) + (cell,uid) + (cell): ≤4, and
+    # each agg phase must combine map-side (partial_ in the plan)
+    assert audit.count_exchanges(tiles) <= 4
+    plan = audit.formatted_plan(tiles)
+    assert "partial_" in plan
+
+
+def test_window_version_chain_single_exchange(spark, sf_dir):
+    df = _q("window_version_chain")(spark, sf_dir)
+    # both window specs share the partition key -> one hash exchange
+    assert audit.count_exchanges(df) == 1, audit.count_exchanges(df)
+
+
+def test_relational_ops_stay_in_codegen(spark, sf_dir):
+    for name in ("agg_user_features", "agg_element_meta", "scalar_math_ratios"):
+        df = _q(name)(spark, sf_dir)
+        assert audit.codegen_stage_count(df) >= 1, name
+        assert not audit.has_python_stage(df), f"{name} crossed into Python"
+
+
+def test_sort_limit_uses_take_ordered(spark, sf_dir):
+    df = _q("sort_limit_report")(spark, sf_dir)
+    assert "TakeOrderedAndProject" in audit.simple_plan(df)
+
+
+def test_geocode_encode_is_jvm_only(spark, sf_dir):
+    df = geocoded_pages(spark, sf_dir, res=7)
+    assert not audit.has_python_stage(df), "hot-path encode crossed into Python"
+    assert audit.codegen_stage_count(df) >= 1

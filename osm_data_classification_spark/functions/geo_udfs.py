@@ -18,7 +18,6 @@ import re
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
-from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 from ..geo.cells import encode_np, parent_np

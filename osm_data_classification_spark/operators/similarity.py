@@ -39,35 +39,56 @@ N_QUERIES = 10  # probe set: vec_id < 10
 TOP_K = 5
 EMB_DIM = 64
 
+# per-vector squared norms are computed ONCE (|vectors| rows) and
+# joined to pairs — recomputing them per pair would triple the
+# decimal-fold work on the O(Q·N) pair table
+_NORMS_SQL = f"""
+    norms AS (
+        SELECT vec_id, {DEC_SUM_PROD('embedding[i]', 'embedding[i]')} AS nsq
+        FROM embeddings, generate_series(1, {EMB_DIM}) AS g(i)
+        GROUP BY vec_id
+    )
+"""
+
 _PAIR_DOTS_SQL = f"""
     dots AS (
         SELECT qid, cid,
-               {DEC_SUM_PROD('eq[i]', 'ec[i]')} AS dot,
-               {DEC_SUM_PROD('eq[i]', 'eq[i]')} AS nq,
-               {DEC_SUM_PROD('ec[i]', 'ec[i]')} AS nc
+               {DEC_SUM_PROD('eq[i]', 'ec[i]')} AS dot
         FROM pairs, generate_series(1, {EMB_DIM}) AS g(i)
         GROUP BY qid, cid
     ),
     scored AS (
-        SELECT qid, cid,
-               CAST(floor(1000000.0 * dot / (sqrt(nq) * sqrt(nc))) AS BIGINT)
+        SELECT d.qid, d.cid,
+               CAST(floor(1000000.0 * d.dot
+                          / (sqrt(nq.nsq) * sqrt(nc.nsq))) AS BIGINT)
                    AS cos_x1e6
-        FROM dots
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.qid
+        JOIN norms nc ON nc.vec_id = d.cid
     )
 """
 
 
-def _pair_dots(pairs: DataFrame) -> DataFrame:
-    """(qid, cid, cos_x1e6) from (qid, eq, cid, ec) pairs — Spark twin
-    of the SQL CTE above."""
+def _norms(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id", dec_dot_col(F.col("embedding"), F.col("embedding")).alias("nsq")
+    )
+
+
+def _pair_dots(pairs: DataFrame, norms: DataFrame) -> DataFrame:
+    """(qid, cid, cos_x1e6) from (qid, eq, cid, ec) pairs + the
+    per-vector norm table — Spark twin of the SQL CTEs above."""
     dots = pairs.select(
         "qid",
         "cid",
         dec_dot_col(F.col("eq"), F.col("ec")).alias("dot"),
-        dec_dot_col(F.col("eq"), F.col("eq")).alias("nq"),
-        dec_dot_col(F.col("ec"), F.col("ec")).alias("nc"),
     )
-    cos = F.floor(F.lit(1000000.0) * F.col("dot") / (F.sqrt("nq") * F.sqrt("nc")))
+    nq = norms.select(F.col("vec_id").alias("qid"), F.col("nsq").alias("__nq"))
+    nc = norms.select(F.col("vec_id").alias("cid"), F.col("nsq").alias("__nc"))
+    dots = dots.join(F.broadcast(nq), "qid").join(F.broadcast(nc), "cid")
+    cos = F.floor(
+        F.lit(1000000.0) * F.col("dot") / (F.sqrt("__nq") * F.sqrt("__nc"))
+    )
     return dots.select("qid", "cid", cos.cast("long").alias("cos_x1e6"))
 
 
@@ -101,6 +122,7 @@ _RANK_SQL = f"""
         FROM embeddings q CROSS JOIN embeddings c
         WHERE q.vec_id < {N_QUERIES}
     ),
+    {_NORMS_SQL},
     {_PAIR_DOTS_SQL}
     {_RANK_SQL}
     """,
@@ -116,7 +138,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ec"))
     pairs = c.crossJoin(F.broadcast(q))
-    return _rank_topk(_pair_dots(pairs))
+    return _rank_topk(_pair_dots(pairs, _norms(emb)))
 
 
 # ---------------------------------------------------------------------------
@@ -218,6 +240,7 @@ def _signatures(spark: SparkSession, emb: DataFrame) -> DataFrame:
         JOIN embeddings ce ON ce.vec_id = c.vec_id
         WHERE q.vec_id < {N_QUERIES}
     ),
+    {_NORMS_SQL},
     {_PAIR_DOTS_SQL}
     {_RANK_SQL}
     """,
@@ -239,7 +262,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(ev.withColumnRenamed("vec_id", "qid").withColumnRenamed("embedding", "eq"), "qid")
         .join(ev.withColumnRenamed("vec_id", "cid").withColumnRenamed("embedding", "ec"), "cid")
     )
-    return _rank_topk(_pair_dots(pairs))
+    return _rank_topk(_pair_dots(pairs, _norms(emb)))
 
 
 # ---------------------------------------------------------------------------
@@ -276,6 +299,7 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN embeddings qe ON qe.vec_id = a.qid
         JOIN embeddings ce ON ce.label = a.label
     ),
+    {_NORMS_SQL},
     {_PAIR_DOTS_SQL}
     {_RANK_SQL}
     """,
@@ -328,4 +352,4 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("qid", "eq", "cid", "ec")
     )
-    return _rank_topk(_pair_dots(pairs))
+    return _rank_topk(_pair_dots(pairs, _norms(emb)))

@@ -1,4 +1,5 @@
 from .pipeline import (
+    running_user_totals,
     session_agg,
     sliding_counts,
     stream_dedup,
@@ -7,6 +8,7 @@ from .pipeline import (
 )
 
 __all__ = [
+    "running_user_totals",
     "session_agg",
     "sliding_counts",
     "stream_dedup",

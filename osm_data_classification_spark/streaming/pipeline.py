@@ -82,6 +82,57 @@ def session_agg(
     )
 
 
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (SURVEY.md §2.9 'applyInPandasWithState
+    for custom stateful operators'): per-user running event count and
+    value total maintained in the state store across micro-batches.
+    Emits the updated running totals for every user seen in a batch —
+    the arbitrary-state shape that windows/sessions can't express
+    (cross-batch monotone accumulators, custom eviction policies)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd  # noqa: PLC0415 (worker-side import)
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Stateful re-crawl dedup: first event per event_id wins, state
     bounded by the watermark (`dropDuplicatesWithinWatermark` — the

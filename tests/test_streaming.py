@@ -146,3 +146,46 @@ def test_watermark_present_in_plan(spark, events_dir):
     stream = stream_events(spark, events_dir)
     plan = tumbling_daily(stream)._jdf.queryExecution().analyzed().toString()
     assert "EventTimeWatermark" in plan
+
+
+def test_stateful_running_totals(spark, sf_dir, events_dir):
+    """applyInPandasWithState: state accumulates across micro-batches;
+    the LAST emitted row per user equals the batch aggregate."""
+    from osm_data_classification_spark.streaming import running_user_totals
+
+    stream = stream_events(spark, events_dir)
+    name = "state_" + uuid.uuid4().hex[:8]
+    q = (
+        running_user_totals(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_state_"))
+        .start()
+    )
+    q.awaitTermination(120)
+    import pandas as pd
+
+    got = spark.table(name).toPandas()
+    # update mode appends one row per (batch, user); the final state is
+    # the row with the max n_events per user
+    final = got.sort_values("n_events").groupby("user_id").last()
+    exp = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert final["n_events"].sort_index().tolist() == exp["n_events"].tolist()
+    pd.testing.assert_series_equal(
+        final["total_value"].sort_index(),
+        exp["total_value"],
+        check_names=False,
+        rtol=1e-9,
+    )
+    # state genuinely accumulated across >1 batch: some user must have
+    # been emitted more than once
+    assert (got.groupby("user_id").size() > 1).any()

@@ -67,10 +67,16 @@ def main() -> None:
     n_pages = synth_pages(spark, SF_DIR, multiplier=MULTIPLIER).count()
     timings["flagship_spatial_tiling"] = round(flagship_s, 3)
 
+    warm_dir = SF_DIR.replace("sf0.1", "sf0.01")
     for name in HEADLINE:
         spec = cat.get(name)
         if spec is None:
             continue
+        # warm at the small SF first: whole-stage-codegen compiles once
+        # per stage shape, so the timed run measures throughput, not
+        # Janino (the shapes are identical across SFs)
+        if warm_dir != SF_DIR and os.path.isdir(warm_dir):
+            spec.fn(spark, warm_dir).count()
         t0 = time.perf_counter()
         spec.fn(spark, SF_DIR).count()
         timings[name] = round(time.perf_counter() - t0, 3)

@@ -123,18 +123,27 @@ SHINGLES_SQL = f"""
 
 def shingles(c: DataFrame) -> DataFrame:
     """(doc_id, shingle) — word 3-grams; docs shorter than NGRAM tokens
-    produce no rows (mirrors the SQL's empty generate_series)."""
-    toks = F.split(F.trim("text"), r"\s+")
+    produce no rows (mirrors the SQL's empty generate_series).
+
+    The token array is materialized as its own projection first: the
+    higher-order transform lambda references the array 3× per element,
+    and inlining `split(text)` there would re-run the regex
+    tokenization for every shingle term (~450 regex passes per doc —
+    measured 6× slowdown)."""
+    toks_df = c.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("__toks")
+    )
+    t = F.col("__toks")
     sh = F.when(
-        F.size(toks) >= NGRAM,
+        F.size(t) >= NGRAM,
         F.transform(
-            F.sequence(F.lit(0), F.size(toks) - NGRAM),
+            F.sequence(F.lit(0), F.size(t) - NGRAM),
             lambda i: F.concat_ws(
-                " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+                " ", F.get(t, i), F.get(t, i + 1), F.get(t, i + 2)
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return c.select("doc_id", F.explode(sh).alias("shingle"))
+    return toks_df.select("doc_id", F.explode(sh).alias("shingle"))
 
 
 DISTINCT_SHINGLES_SQL = f"""
@@ -271,9 +280,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides of the Jaccard verify, the size table); persist it once —
     # at production scale this is the checkpointed shingle table
     sh = shingles(spread(corpus(spark, sf_dir))).distinct().persist()
-    h = phash_col(F.col("shingle"))
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(pmix_col(h, a, b)).alias(f"mh{i}") for i, (a, b) in enumerate(PERMS)]
+    # materialize the md5-based hash ONCE per shingle: inlining phash
+    # into the 16 permutation aggregates would evaluate 16 md5s per row
+    hashed = sh.select("doc_id", phash_col(F.col("shingle")).alias("__h"))
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(pmix_col(F.col("__h"), a, b)).alias(f"mh{i}")
+            for i, (a, b) in enumerate(PERMS)
+        ]
     )
     band_structs = F.array(
         *[

@@ -1,0 +1,102 @@
+"""Table-layout scale evidence (SURVEY.md §4.1 layout rows): bucketed
+co-located joins eliminate the shuffle, and partition-by-date layout
+prunes at the scan — the Iceberg-hidden-partitioning story, exercised
+on plain parquet tables (io.py abstracts the catalog; swap the format
+on a real cluster)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_data_classification_spark.io import load_table
+from osm_data_classification_spark.plans import audit
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="wh_")
+    old = spark.conf.get("spark.sql.warehouse.dir", None)
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, warehouse):
+    """Both sides bucketed by the join key → SortMergeJoin with ZERO
+    shuffle exchanges: at 100 TB this is the difference between a
+    co-located merge and moving both tables over the network."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(F.sum("value").alias("total"))
+    for name, df in (("ev_b", ev.select("event_id", "user_id", "value")), ("agg_b", agg)):
+        (
+            df.write.mode("overwrite")
+            .bucketBy(8, "user_id")
+            .sortBy("user_id")
+            .option("path", f"{warehouse}/{name}")
+            .saveAsTable(name)
+        )
+    # the test tables are tiny, so disable auto-broadcast to expose the
+    # bucketed sort-merge path (at real scale neither side broadcasts)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("ev_b").join(spark.table("agg_b"), "user_id")
+        kinds = audit.join_kinds(joined)
+        n_ex = audit.count_exchanges(joined)
+        assert n_ex == 0, f"bucketed join still shuffles: {n_ex} exchanges"
+        assert "SortMergeJoin" in kinds
+        # and it computes the right thing
+        plain = ev.select("event_id", "user_id", "value").join(agg, "user_id")
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS ev_b")
+        spark.sql("DROP TABLE IF EXISTS agg_b")
+
+
+def test_partitioned_layout_prunes_at_scan(spark, sf_dir):
+    """date-partitioned layout: a day filter becomes a PartitionFilter
+    (directories never listed), not a row filter."""
+    d = tempfile.mkdtemp(prefix="part_")
+    try:
+        ev = load_table(spark, sf_dir, "events").withColumn(
+            "day", F.to_date("ts")
+        )
+        ev.write.mode("overwrite").partitionBy("day").parquet(d)
+        back = spark.read.parquet(d).filter(F.col("day") == "2024-01-05")
+        plan = audit.formatted_plan(back)
+        assert "PartitionFilters" in plan
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "day" in m.group(1), plan[:2000]
+        exp = ev.filter(F.to_date("ts") == "2024-01-05").count()
+        assert back.count() == exp
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cell_prefix_partition_pruning(spark, sf_dir):
+    """Morton ids share prefixes within a parent cell, so writing
+    partitioned by a coarse parent cell prunes spatial queries — the
+    cell-prefix layout of SURVEY.md §4.1."""
+    from osm_data_classification_spark.geo.cells import cell_parent_col
+    from osm_data_classification_spark.sources.pages import geocoded_pages
+
+    d = tempfile.mkdtemp(prefix="cellpart_")
+    try:
+        pages = geocoded_pages(spark, sf_dir, res=9).withColumn(
+            "cell_r4", cell_parent_col(F.col("cell"), 9, 4)
+        )
+        pages.drop("html").write.mode("overwrite").partitionBy("cell_r4").parquet(d)
+        some_cell = pages.select("cell_r4").first()["cell_r4"]
+        back = spark.read.parquet(d).filter(F.col("cell_r4") == some_cell)
+        plan = audit.formatted_plan(back)
+        assert "PartitionFilters" in plan
+        exp = pages.filter(F.col("cell_r4") == some_cell).count()
+        assert back.count() == exp
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -24,8 +24,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 # fan-out factor for the synthesized pages table (sf0.1 documents ~5k
-# rows -> ~200k pages + crawl chains); override for scaling runs
-MULTIPLIER = int(os.environ.get("SPARK_GRAFT_MULTIPLIER", "40"))
+# rows -> 7.5M pages at 1000x incl. crawl chains); large enough that
+# flagship throughput is measured in the compute-bound regime, not the
+# ~2s stage-barrier floor. Override for scaling runs.
+MULTIPLIER = int(os.environ.get("SPARK_GRAFT_MULTIPLIER", "1000"))
 
 # catalog entries that exercise each heavy operator family at sf0.1
 HEADLINE = [

@@ -164,6 +164,53 @@ def checkpoint_read(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(os.path.join(path, "data"))
 
 
+# ---------------------------------------------------------------------------
+# CSV / JSON checkpoint formats (SURVEY.md §2.1 S2)
+#
+# The reference hands data between luigi tasks as CSV files `[U: luigi
+# targets]`; these helpers provide the same interchange surface with
+# schema round-tripping (CSV carries no types, so the schema is saved
+# alongside and re-applied on read — type-lossless, unlike the
+# reference's stringly CSVs).
+# ---------------------------------------------------------------------------
+
+
+def write_csv_checkpoint(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    import json as _json
+
+    df.write.mode(mode).option("header", True).csv(os.path.join(path, "data"))
+    schema_path = os.path.join(path, "_schema.json")
+    with open(schema_path, "w") as f:
+        f.write(_json.dumps(df.schema.jsonValue()))
+
+
+def read_csv_checkpoint(spark: SparkSession, path: str) -> DataFrame:
+    import json as _json
+
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(path, "_schema.json")) as f:
+        schema = StructType.fromJson(_json.loads(f.read()))
+    return (
+        spark.read.option("header", True)
+        .schema(schema)
+        .csv(os.path.join(path, "data"))
+    )
+
+
+def write_json_checkpoint(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_json_checkpoint(
+    spark: SparkSession, path: str, schema: "str | None" = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def run_stage(
     spark: SparkSession,
     path: str,

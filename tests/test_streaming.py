@@ -189,3 +189,42 @@ def test_stateful_running_totals(spark, sf_dir, events_dir):
     # state genuinely accumulated across >1 batch: some user must have
     # been emitted more than once
     assert (got.groupby("user_id").size() > 1).any()
+
+
+def test_streaming_tile_aggregation_equals_batch(spark, sf_dir):
+    """The flagship tile path under readStream: pages stream in over 4
+    micro-batches, the SAME JVM geocode/encode expressions apply, and
+    complete-mode tile aggregation converges to the batch tile table —
+    the batch-first-streaming-ready contract of SURVEY.md §2.9."""
+    from osm_data_classification_spark.geo.cells import cell_encode_col
+    from osm_data_classification_spark.sources.pages import geocode_cols, synth_pages
+
+    src = tempfile.mkdtemp(prefix="stream_pages_")
+    try:
+        pages = synth_pages(spark, sf_dir).drop("html")  # binary col: keep files small
+        pages.repartition(4).write.mode("overwrite").parquet(src)
+
+        def tiles_of(df):
+            lon, lat = geocode_cols(F.col("text"))
+            enc = df.select(
+                "url",
+                "lang",
+                "warc_ts",
+                cell_encode_col(lon, lat, 7).alias("cell"),
+            )
+            return enc.groupBy("cell").agg(
+                F.count(F.lit(1)).alias("n_edits"),
+                F.approx_count_distinct("url").alias("n_urls_approx"),
+            )
+
+        stream = (
+            spark.readStream.schema("url string, warc_ts timestamp, text string, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        got = _run_stream(spark, tiles_of(stream), "complete")
+        batch = tiles_of(spark.read.parquet(src))
+        cols = ["cell", "n_edits", "n_urls_approx"]
+        assert _rows(got, cols) == _rows(batch, cols)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)

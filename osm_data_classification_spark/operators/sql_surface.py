@@ -1,0 +1,85 @@
+"""The spark.sql(...) surface (SURVEY.md §3.2: "declare the logical
+plan with the DataFrame/SQL API").
+
+Most of the catalog is DataFrame-built; these entries exercise the SQL
+entry point end-to-end — views registered from the catalog-abstracted
+reader, queries submitted as SQL text, same Catalyst pipeline, same
+DuckDB oracles. The SQL strings are written once in the shared
+cross-engine dialect (integer-scaled / decimal-fold arithmetic), so
+the Spark query IS the oracle text modulo the `div` / `//` spelling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import register_views
+from .relational import QuerySpec
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def _register_sql(name: str, spark_sql: str, duck_sql: str | None = None):
+    """Register a pure-SQL query: the Spark fn registers views and runs
+    the text; the oracle is the same text (or a dialect twin)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    CATALOG[name] = QuerySpec(fn, duck_sql or spark_sql)
+    return fn
+
+
+# TPC-H Q1-shaped pricing summary. Money columns are 2-decimal values
+# stored as doubles: quantize to DECIMAL(18,2) BEFORE any arithmetic —
+# rounding *products* of doubles hits true decimal midpoints where
+# HALF_UP disagrees across engines (see operators/relational.py dec2)
+_Q1_BODY = """
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,6)))
+            AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(38,6)))
+            AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_register_sql("sql_tpch_q1", _Q1_BODY)
+
+# Q3-shaped shipping-priority join (top 10 revenue orders)
+_Q3_BODY = """
+SELECT o.o_orderkey,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       o.o_orderdate
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+GROUP BY o.o_orderkey, o.o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+_register_sql("sql_tpch_q3", _Q3_BODY)
+
+# correlated-subquery shape (customers above their nation's avg balance)
+_SUBQ_BODY = """
+SELECT c_custkey, c_nationkey
+FROM customer c1
+WHERE c_acctbal > (
+    SELECT CAST(SUM(CAST(ROUND(c_acctbal, 2) AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*)
+    FROM customer c2 WHERE c2.c_nationkey = c1.c_nationkey
+)
+"""
+
+_register_sql("sql_correlated_subquery", _SUBQ_BODY)

@@ -7,7 +7,6 @@ import time
 
 from pyspark.sql import functions as F
 
-from osm_data_classification_spark.catalog import full_catalog
 from osm_data_classification_spark.io import load_table
 from osm_data_classification_spark.operators.geo_ops import knn_auto_res, knn_join
 from osm_data_classification_spark.sources.pages import geocoded_pages

@@ -95,3 +95,15 @@ def test_shingles_short_docs(spark, n):
     """Docs shorter than NGRAM tokens produce no shingles (not an error)."""
     df = spark.createDataFrame([(1, " ".join(["w"] * n))], "doc_id long, text string")
     assert dedup.shingles(df).count() == 0
+
+
+def test_vectorized_shingler_equals_hof(spark, sf_dir):
+    """The mapInPandas scale-path shingler produces exactly the rows of
+    the higher-order-function version."""
+    c = dedup.corpus(spark, sf_dir)
+    a = sorted((r["doc_id"], r["shingle"]) for r in dedup.shingles(c).collect())
+    b = sorted(
+        (r["doc_id"], r["shingle"])
+        for r in dedup.shingles_vectorized(c).collect()
+    )
+    assert a == b

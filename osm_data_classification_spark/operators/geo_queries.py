@@ -86,10 +86,74 @@ def geo_cell_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register("geo_pip_join")
 def geo_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5: ray-cast PIP join, (url, boundary_id) assignment pairs."""
+    """J5: ray-cast PIP join, (url, boundary_id) assignment pairs over
+    the seeded-numpy boundary fixture (rows-only for the driver; the
+    numpy-oracle L3 suite is its gate — the ray-cast kernel itself is
+    driver-gated by geo_pip_join_exact below)."""
     pages = geocoded_pages(spark, sf_dir, res=7)
     packed = packed_boundaries(50)
     return pip_join(pages, packed, res=7).select("url", "warc_ts", "boundary_id")
+
+
+def _pip_exact_sql() -> str:
+    from ..geo.pip_sql import pip_exact_sql
+
+    return pip_exact_sql(PAGES_SQL)
+
+
+@_register("geo_pip_join_exact", _pip_exact_sql())
+def geo_pip_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 with a FULL value oracle: polygons defined by literal
+    integer/dyadic vertices shared verbatim with the SQL (VALUES
+    segments + identical half-open crossing rule), so DuckDB
+    independently ray-casts the re-synthesized pages and the driver
+    value-hashes the (url, warc_ts, boundary_id) assignment set —
+    'matching join output row counts ... bit-for-bit'
+    (BASELINE.json:6) as a per-round driver gate."""
+    from ..geo.pip import PackedPolygons
+    from ..geo.pip_sql import boundary_rows
+
+    pages = geocoded_pages(spark, sf_dir, res=7)
+    packed = PackedPolygons.from_rows(boundary_rows())
+    return pip_join(pages, packed, res=7).select("url", "warc_ts", "boundary_id")
+
+
+@_register(
+    "geo_knn_join_exact",
+    f"""
+    WITH {PAGES_SQL},
+    pts AS (SELECT DISTINCT url, lon, lat FROM pages),
+    pairs AS (
+        SELECT a.url AS qid, b.url AS cid,
+               (a.lon - b.lon) * (a.lon - b.lon)
+                 + (a.lat - b.lat) * (a.lat - b.lat) AS dist_sq
+        FROM pts a CROSS JOIN pts b
+    )
+    SELECT qid, cid, dist_sq, rank FROM (
+        SELECT qid, cid, dist_sq,
+               row_number() OVER (PARTITION BY qid ORDER BY dist_sq, cid)
+                   AS rank
+        FROM pairs
+    ) WHERE rank <= 5
+    """,
+)
+def geo_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 with a FULL value oracle: the Spark side runs the
+    grid-partitioned kNN (ring pass + certification + fallback); the
+    DuckDB side brute-forces all pairs over the independently
+    re-synthesized points. Value-hash equality proves the grid
+    algorithm exact — every probe, every rank, every distance bit."""
+    pages = geocoded_pages(spark, sf_dir, res=6).dropDuplicates(["url"])
+    pts = pages.select(F.col("url").alias("qid"), "lon", "lat").persist()
+    res = knn_auto_res(pts.count(), k=5)
+    return knn_join(
+        pts,
+        pts.withColumnRenamed("qid", "cid"),
+        k=5,
+        res=res,
+        id_col="qid",
+        cand_id_col="cid",
+    )
 
 
 @_register("geo_knn_join")

@@ -1,0 +1,165 @@
+"""Temporal/analytic operator extensions: as-of join, cube grouping,
+and the full window-rank family — each with a DuckDB oracle (including
+DuckDB's native ASOF JOIN as the independent check of the Spark
+window-based as-of implementation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..io import load_table
+from .relational import QuerySpec
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, sql=None):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# as-of join (the custom-operator shape Spark lacks natively)
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    time_col: str = "ts",
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For each probe row, the build row with the greatest
+    ``time_col`` ≤ probe's time, per ``key`` — exact AS-OF semantics as
+    a composition of existing ops (SURVEY.md custom-operator ladder,
+    option (a)): union the tagged streams, one window sorted by (ts,
+    side) per key, running-max over a (ts, id…) struct, filter back to
+    probe rows. ONE shuffle on the key, no range join, no per-row
+    Python; ties on ts break toward the larger build id
+    (struct ordering), deterministically in both engines.
+    """
+    b_cols = [c for c in build.columns if c not in (key, time_col)]
+    p = probe.withColumn("__side", F.lit(1))
+    b = build.withColumn("__side", F.lit(0))
+    for c in probe.columns:
+        if c not in b.columns:
+            b = b.withColumn(c, F.lit(None))
+    for c in b_cols:
+        if c not in p.columns:
+            p = p.withColumn(c, F.lit(None))
+    unioned = p.unionByName(b.select(*p.columns))
+    # build rows sort before probe rows at equal ts (side 0 < 1), so a
+    # build row AT the probe's timestamp is visible to it
+    w = (
+        Window.partitionBy(key)
+        .orderBy(time_col, "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = F.max(
+        F.when(
+            F.col("__side") == 0,
+            F.struct(F.col(time_col).alias("t"), *[F.col(c).alias(c) for c in b_cols]),
+        )
+    ).over(w)
+    out = unioned.withColumn("__m", carry).filter(F.col("__side") == 1)
+    sel = [F.col(c) for c in probe.columns if c != "__side"]
+    sel.append(F.col("__m.t").alias(f"{time_col}{suffix}"))
+    sel.extend(F.col(f"__m.{c}").alias(f"{c}{suffix}") for c in b_cols)
+    return out.select(*sel)
+
+
+@_register(
+    "asof_join_purchase_view",
+    """
+    SELECT p.event_id,
+           p.user_id,
+           p.ts,
+           v.ts AS ts_asof,
+           v.event_id AS event_id_asof
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT event_id, user_id, ts FROM events
+                    WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+)
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's most recent prior (or
+    simultaneous) view. The oracle is DuckDB's NATIVE ASOF JOIN — an
+    independent implementation of the semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    return asof_join(purchases, views, key="user_id", time_col="ts")
+
+
+# ---------------------------------------------------------------------------
+# cube / grouping sets
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cube_user_type",
+    """
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY CUBE(user_id, event_type)
+    """,
+)
+def cube_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 extension: CUBE — all 4 grouping sets in one pass (Catalyst
+    Expand), counts per (user), (type), (user,type), and grand total."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.cube("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# extended window-rank family
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "window_rank_family",
+    """
+    SELECT event_id,
+           user_id,
+           rank()         OVER w AS rnk,
+           dense_rank()   OVER w AS drnk,
+           ntile(4)       OVER w AS quartile,
+           CAST(floor(percent_rank() OVER w * 100000) AS BIGINT)
+               AS pct_rank_x1e5,
+           CAST(floor(cume_dist() OVER w * 100000) AS BIGINT)
+               AS cume_x1e5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+    """,
+)
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 extension: rank, dense_rank, ntile, percent_rank, cume_dist in
+    one window (ties broken on event_id so every rank is total-order
+    deterministic; the ratio ranks integer-floored for engine parity)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("value", "event_id")
+
+    def x1e5(c: Column) -> Column:
+        return F.floor(c * 100000).cast("long")
+
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        x1e5(F.percent_rank().over(w)).alias("pct_rank_x1e5"),
+        x1e5(F.cume_dist().over(w)).alias("cume_x1e5"),
+    )

@@ -163,3 +163,138 @@ def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         x1e5(F.percent_rank().over(w)).alias("pct_rank_x1e5"),
         x1e5(F.cume_dist().over(w)).alias("cume_x1e5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# pure interval join (no equi key) — the bucketed scale pattern
+# ---------------------------------------------------------------------------
+
+WINDOW_H = 4
+
+
+@_register(
+    "interval_join_bucketed",
+    f"""
+    WITH incidents AS (
+        SELECT event_id AS inc_id, ts AS t0, ts + INTERVAL {WINDOW_H} HOUR AS t1
+        FROM events WHERE event_type = 'error' AND event_id % 10 = 0
+    )
+    SELECT i.inc_id, count(e.event_id) AS n_in_window
+    FROM incidents i LEFT JOIN events e
+      ON e.ts >= i.t0 AND e.ts < i.t1
+    GROUP BY i.inc_id
+    """,
+)
+def interval_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 hard case: interval join with NO equi key. The naive plan is a
+    broadcast-nested-loop over every (event, interval) pair; here each
+    bounded interval explodes to the hour buckets it covers and events
+    carry their hour, so the join is an EQUI join on the bucket with
+    the exact BETWEEN as a refine — each pair meets in exactly one
+    bucket (an event has one hour), so no dedup step is needed. The
+    oracle is DuckDB's inequality join (an independent IEJoin plan)."""
+    ev = load_table(spark, sf_dir, "events")
+    incidents = (
+        ev.filter((F.col("event_type") == "error") & (F.pmod("event_id", F.lit(10)) == 0))
+        .select(
+            F.col("event_id").alias("inc_id"),
+            F.col("ts").alias("t0"),
+            (F.col("ts") + F.expr(f"INTERVAL {WINDOW_H} HOURS")).alias("t1"),
+        )
+    )
+    inc_buckets = incidents.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", "t0"),
+                F.date_trunc("hour", "t1"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ),
+    )
+    ev_b = ev.select(
+        F.col("event_id"), F.col("ts"), F.date_trunc("hour", "ts").alias("__bucket")
+    )
+    pairs = inc_buckets.join(ev_b, "__bucket").filter(
+        (F.col("ts") >= F.col("t0")) & (F.col("ts") < F.col("t1"))
+    )
+    counts = pairs.groupBy("inc_id").agg(F.count(F.lit(1)).alias("n_in_window"))
+    # LEFT semantics: intervals with zero events still appear
+    return (
+        incidents.select("inc_id")
+        .join(counts, "inc_id", "left")
+        .fillna(0, subset=["n_in_window"])
+    )
+
+
+# ---------------------------------------------------------------------------
+# keep-latest dedup (P3 at CDC semantics) + explicit null handling (P4)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_keep_latest",
+    """
+    SELECT event_id, user_id, ts, value FROM (
+        SELECT event_id, user_id, ts, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 at CDC semantics: latest row per key (the 'current state' view
+    of an append-only log, SURVEY.md §1.1) — deterministic tie-break on
+    (ts, event_id) descending."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "ts", "value")
+    )
+
+
+@_register(
+    "null_handling_fill",
+    """
+    WITH sparse AS (
+        SELECT event_id,
+               CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS user_id,
+               CASE WHEN event_id % 5 = 0 THEN NULL ELSE value END AS value
+        FROM events
+    )
+    SELECT event_id,
+           coalesce(user_id, -1) AS user_id_filled,
+           CAST(coalesce(CAST(value AS DECIMAL(18,2)), 0) AS DOUBLE)
+               AS value_filled,
+           CAST(user_id IS NULL AS INT) + CAST(value IS NULL AS INT)
+               AS n_nulls
+    FROM sparse
+    """,
+)
+def null_handling_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: nulls injected deterministically, then coalesce/fillna and a
+    null-count audit column — the left-join zero-fill idiom of the
+    reference's feature merge `[U: UserMetadataExtract]`, isolated."""
+    ev = load_table(spark, sf_dir, "events")
+    sparse = ev.select(
+        "event_id",
+        F.when(F.pmod("event_id", F.lit(7)) == 0, None)
+        .otherwise(F.col("user_id"))
+        .alias("user_id"),
+        F.when(F.pmod("event_id", F.lit(5)) == 0, None)
+        .otherwise(F.col("value"))
+        .alias("value"),
+    )
+    return sparse.select(
+        "event_id",
+        F.coalesce("user_id", F.lit(-1)).alias("user_id_filled"),
+        F.coalesce(F.col("value").cast("decimal(18,2)"), F.lit(0))
+        .cast("double")
+        .alias("value_filled"),
+        (
+            F.col("user_id").isNull().cast("int") + F.col("value").isNull().cast("int")
+        ).alias("n_nulls"),
+    )

@@ -95,3 +95,22 @@ def test_geocode_encode_is_jvm_only(spark, sf_dir):
     df = geocoded_pages(spark, sf_dir, res=7)
     assert not audit.has_python_stage(df), "hot-path encode crossed into Python"
     assert audit.codegen_stage_count(df) >= 1
+
+
+def test_asof_join_single_exchange_no_join_node(spark, sf_dir):
+    """The as-of join is a window composition: one hash exchange on the
+    key, no join operator at all (and certainly no range/BNL join)."""
+    df = _q("asof_join_purchase_view")(spark, sf_dir)
+    assert audit.join_kinds(df) == [], audit.join_kinds(df)
+    assert audit.count_exchanges(df) == 1
+
+
+def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
+    """The bucketed interval join must plan as a hash/broadcast EQUI
+    join — BroadcastNestedLoopJoin/CartesianProduct would be the naive
+    no-equi-key plan that dies at scale."""
+    df = _q("interval_join_bucketed")(spark, sf_dir)
+    kinds = audit.join_kinds(df)
+    assert "BroadcastNestedLoopJoin" not in kinds, kinds
+    assert "CartesianProduct" not in kinds, kinds
+    assert any(k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin") for k in kinds), kinds

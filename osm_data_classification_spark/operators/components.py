@@ -1,0 +1,102 @@
+"""Duplicate-cluster formation: distributed connected components over
+near-dup pairs.
+
+Pairwise dedup (dedup.py) yields EDGES; a training-data pipeline needs
+CLUSTERS — each document assigned the minimum doc_id of its duplicate
+group, then one canonical survivor per group. Connected components run
+as iterative label propagation (each node takes the min label in its
+neighborhood until fixpoint) — a DataFrame loop whose per-iteration
+work is one join + one groupBy, converging in O(diameter) rounds;
+duplicate-cluster diameters are tiny in practice, and the classic
+large-star/small-star optimization slots in here if they are not.
+
+Driver check is rows-only (iterative); the exact gate is
+tests/test_components.py vs a single-threaded union-find oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import dedup_minhash_lsh, corpus
+from .relational import QuerySpec
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, sql=None):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn, sql)
+        return fn
+
+    return deco
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """(node, component) with component = min node id reachable.
+    Undirected; isolated nodes of the edge set keep their own id."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        # each node pulls the smallest label among itself and neighbors
+        nbr_min = (
+            sym.join(labels.withColumnRenamed("node", "b"), "b")
+            .groupBy("a")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .withColumnRenamed("a", "node")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+@_register("dedup_clusters")  # rows-only (iterative fixpoint)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (MinHash+LSH) → duplicate clusters → per-cluster
+    canonical (min doc_id) and size. Docs with no duplicate partner
+    form singleton clusters."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("da", "db")
+    comp = connected_components(pairs, "da", "db")
+    all_docs = corpus(spark, sf_dir).select("doc_id")
+    labeled = (
+        all_docs.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("comp", F.col("doc_id")).alias("cluster")
+        )
+    )
+    return labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.min("doc_id").alias("canonical"),
+    )

@@ -50,3 +50,17 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assign_df(emb, model["centers"], vec_col="embedding").select(
         "vec_id", "cluster"
     )
+
+
+@_register("kmeans_elbow")  # rows-only (iterative)
+def kmeans_elbow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11's k-selection input: inertia per k (the reference picks k at
+    the elbow `[U: upstream analysis KMeans]`)."""
+    from ..ml.kmeans import elbow_inertia
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = elbow_inertia(
+        emb, ks=[2, 3, 4, 5], vec_col="embedding", id_col="vec_id", max_iter=8
+    )
+    rows = [(k, float(round(v, 6))) for k, v in sorted(pairs.items())]
+    return spark.createDataFrame(rows, "k int, inertia double")

@@ -1,0 +1,55 @@
+"""Connected components vs a single-threaded union-find oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from osm_data_classification_spark.operators import dedup
+from osm_data_classification_spark.operators.components import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _union_find(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_components_match_union_find(spark):
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (30, 31)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    exp = _union_find(edges)
+    # canonical labels: min of each component
+    exp_min = {}
+    for x, r in exp.items():
+        exp_min.setdefault(r, min([k for k, v in exp.items() if v == r]))
+    exp_lab = {x: exp_min[r] for x, r in exp.items()}
+    assert got == exp_lab
+
+
+def test_dedup_clusters_contain_planted_groups(spark, sf_dir):
+    out = {r["cluster"]: (r["size"], r["canonical"])
+           for r in dedup_clusters(spark, sf_dir).collect()}
+    # doc d < N_EXACT has BOTH an exact copy (d+EXACT_OFF) and a near
+    # copy (d+NEAR_OFF): all should fold into cluster d
+    for d in range(5):
+        size, canonical = out[d]
+        assert canonical == d
+        assert size >= 3
+    # cluster ids partition all docs exactly once
+    total = sum(s for s, _ in out.values())
+    assert total == dedup.corpus(spark, sf_dir).count()

@@ -165,6 +165,37 @@ def checkpoint_read(spark: SparkSession, path: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Upsert sink (Iceberg/Delta MERGE-INTO analog on plain parquet)
+# ---------------------------------------------------------------------------
+
+
+def upsert(
+    spark: SparkSession, df: DataFrame, path: str, keys: list[str]
+) -> DataFrame:
+    """MERGE semantics on a parquet table: incoming rows replace
+    existing rows with the same key; others are appended. Locally this
+    is a read → anti-join → union → atomic rewrite (write to a temp dir
+    then swap); on Iceberg/Delta it maps to the engine's native
+    MERGE INTO with the same contract. Returns the new table state."""
+    import shutil
+    import uuid
+
+    data_p = os.path.join(path, "data")
+    if os.path.isdir(data_p):
+        existing = spark.read.parquet(data_p)
+        keep = existing.join(df.select(*keys).distinct(), keys, "left_anti")
+        merged = keep.select(*df.columns).unionByName(df)
+    else:
+        merged = df
+    tmp = os.path.join(path, f"_tmp_{uuid.uuid4().hex[:8]}")
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(data_p):
+        shutil.rmtree(data_p)
+    os.replace(tmp, data_p)
+    return spark.read.parquet(data_p)
+
+
+# ---------------------------------------------------------------------------
 # CSV / JSON checkpoint formats (SURVEY.md §2.1 S2)
 #
 # The reference hands data between luigi tasks as CSV files `[U: luigi

@@ -15,12 +15,12 @@ def full_catalog() -> dict[str, QuerySpec]:
     cat.update(_RELATIONAL)
     for modname in ("dedup", "text", "similarity", "geo_queries", "ml_queries",
                     "multimodal", "ref_features", "skew_queries", "grouped", "sql_surface", "temporal", "components"):
-        try:
-            mod = __import__(
-                f"osm_data_classification_spark.operators.{modname}",
-                fromlist=["CATALOG"],
-            )
-            cat.update(mod.CATALOG)
-        except ImportError:
-            pass
+        mod = __import__(
+            f"osm_data_classification_spark.operators.{modname}",
+            fromlist=["CATALOG"],
+        )
+        cat.update(mod.CATALOG)
+    # a broken operator module must fail LOUDLY here — swallowing the
+    # ImportError would silently drop its queries from the driver gate
+    assert len(cat) >= 75, f"catalog unexpectedly small: {len(cat)}"
     return cat

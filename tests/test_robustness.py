@@ -1,0 +1,112 @@
+"""Robustness: haversine numpy parity, 500-boundary PIP stress with
+sampled oracle parity, adversarial text inputs through the text/dedup
+operators."""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from osm_data_classification_spark.geo.distance import (
+    haversine_km_col,
+    haversine_km_np,
+)
+from osm_data_classification_spark.operators import dedup, text
+from osm_data_classification_spark.operators.geo_ops import pip_join
+from osm_data_classification_spark.sources.boundaries import packed_boundaries
+from osm_data_classification_spark.sources.pages import geocoded_pages
+
+
+def test_haversine_jvm_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    n = 2000
+    lon1, lat1 = rng.uniform(-180, 180, n), rng.uniform(-89, 89, n)
+    lon2, lat2 = rng.uniform(-180, 180, n), rng.uniform(-89, 89, n)
+    pdf = spark.createDataFrame(
+        [(float(a), float(b), float(c), float(d))
+         for a, b, c, d in zip(lon1, lat1, lon2, lat2)],
+        "lon1 double, lat1 double, lon2 double, lat2 double",
+    )
+    got = np.array(
+        [
+            r["d"]
+            for r in pdf.select(
+                haversine_km_col(
+                    F.col("lon1"), F.col("lat1"), F.col("lon2"), F.col("lat2")
+                ).alias("d")
+            ).collect()
+        ]
+    )
+    exp = haversine_km_np(lon1, lat1, lon2, lat2)
+    np.testing.assert_allclose(np.sort(got), np.sort(exp), rtol=1e-9)
+    assert (got >= 0).all() and (got <= 20040).all()  # half circumference
+
+
+def test_pip_join_500_boundaries(spark, sf_dir):
+    """10x the usual boundary count: candidates still broadcast-join,
+    and a sampled subset matches the single-threaded oracle exactly."""
+    pages = geocoded_pages(spark, sf_dir, res=7)
+    pk = packed_boundaries(500)
+    t0 = time.perf_counter()
+    matched = pip_join(pages, pk, res=7).select("url", "lon", "lat", "boundary_id")
+    rows = matched.collect()
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 120
+    assert len(rows) > 0
+    # sampled parity: re-test 1000 assignment pairs with the numpy kernel
+    sample = rows[:1000]
+    bidx = pk.index_of(np.array([r["boundary_id"] for r in sample]))
+    inside = pk.contains(
+        bidx,
+        np.array([r["lon"] for r in sample]),
+        np.array([r["lat"] for r in sample]),
+    )
+    assert inside.all()
+
+
+ADVERSARIAL = [
+    (1, ""),  # empty
+    (2, "   "),  # whitespace only
+    (3, "one"),  # below shingle width
+    (4, "a " * 500),  # hugely repetitive
+    (5, "naïve café 北京 emoji🙂 mixed"),  # unicode
+    (6, "x" * 10_000),  # one giant token
+    (7, "tab\tseparated\nnewline\r\nreturn"),  # odd whitespace
+]
+
+
+@pytest.fixture(scope="module")
+def adversarial_docs(spark):
+    return spark.createDataFrame(ADVERSARIAL, "doc_id long, text string")
+
+
+def test_text_ops_survive_adversarial_input(spark, adversarial_docs, monkeypatch, sf_dir):
+    df = adversarial_docs
+    toks = df.select("doc_id", text.tokens_col(F.col("text")).alias("t"))
+    counts = {r["doc_id"]: r["n"] for r in toks.select("doc_id", F.size("t").alias("n")).collect()}
+    assert counts[4] == 500
+    assert counts[6] == 1
+    assert counts[7] == 4  # tab/newline/return all split
+    # fingerprints exist and are distinct for distinct content
+    fps = (
+        df.select("doc_id", F.md5(F.lower(F.regexp_replace("text", r"\s+", " "))).alias("fp"))
+        .collect()
+    )
+    # all distinct: "" and "   " canonicalize differently ("" vs " ")
+    assert len({r["fp"] for r in fps}) == len(ADVERSARIAL)
+
+
+def test_shingles_adversarial(spark, adversarial_docs):
+    sh = dedup.shingles(adversarial_docs).collect()
+    by_doc: dict[int, int] = {}
+    for r in sh:
+        by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0) + 1
+    assert 1 not in by_doc and 3 not in by_doc and 6 not in by_doc
+    assert by_doc[4] == 500 - 2  # n - NGRAM + 1
+    v = {(r["doc_id"], r["shingle"]) for r in
+         dedup.shingles_vectorized(adversarial_docs).collect()}
+    h = {(r["doc_id"], r["shingle"]) for r in sh}
+    assert v == h  # vectorized twin agrees even on adversarial input

@@ -260,3 +260,30 @@ def lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiles = tile_aggregate(pages, res=7, cell_col="cell").drop("activity_hist")
     return lineage_rows(tiles, cell_col="cell")
+
+
+@_register("geo_travel_distance")  # rows-only: haversine trig isn't
+def geo_travel_distance(spark: SparkSession, sf_dir: str) -> DataFrame:  # oracle-safe
+    """Geo + window combo: per contributor (site), the total great-
+    circle distance walked along its pages in crawl order — the
+    activity-radius feature family of contributor classification.
+    Rows-only (trig differs at the ulp across math libraries); gated by
+    the haversine numpy-parity test."""
+    from ..geo.distance import haversine_km_col
+
+    pages = geocoded_pages(spark, sf_dir, res=7).withColumn(
+        "contributor", F.regexp_extract("url", r"site(\d+)", 1).cast("long")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("contributor").orderBy("warc_ts", "url")
+    hops = pages.select(
+        "contributor",
+        haversine_km_col(
+            F.lag("lon").over(w), F.lag("lat").over(w), F.col("lon"), F.col("lat")
+        ).alias("hop_km"),
+    )
+    return hops.groupBy("contributor").agg(
+        F.round(F.sum("hop_km"), 3).alias("travel_km"),
+        F.count(F.lit(1)).alias("n_pages"),
+    )

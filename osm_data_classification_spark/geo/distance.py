@@ -28,7 +28,8 @@ def haversine_km_col(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> 
         F.pow(F.sin(dlat / 2), 2)
         + F.cos(rlat1) * F.cos(rlat2) * F.pow(F.sin(dlon / 2), 2)
     )
-    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(a))
+    # clamp: float error can push a infinitesimally past 1 → asin NaN
+    return F.lit(2.0 * EARTH_RADIUS_KM) * F.asin(F.sqrt(F.least(a, F.lit(1.0))))
 
 
 def haversine_km_np(lon1, lat1, lon2, lat2) -> np.ndarray:
@@ -36,4 +37,4 @@ def haversine_km_np(lon1, lat1, lon2, lat2) -> np.ndarray:
     dlat = rlat1 * 0 + np.radians(lat2) - np.radians(lat1)
     dlon = np.radians(lon2) - np.radians(lon1)
     a = np.sin(dlat / 2) ** 2 + np.cos(rlat1) * np.cos(rlat2) * np.sin(dlon / 2) ** 2
-    return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(a))
+    return 2.0 * EARTH_RADIUS_KM * np.arcsin(np.sqrt(np.minimum(a, 1.0)))

@@ -553,7 +553,9 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_avg_gap",
     """
     SELECT user_id,
-           ROUND(CAST(SUM(gap_us) AS DOUBLE) / COUNT(*), 4) AS avg_gap_us
+           SUM(gap_us) AS sum_gap_us,
+           COUNT(*) AS n_gaps,
+           SUM(gap_us) // COUNT(*) AS avg_gap_us_floor
     FROM (
         SELECT user_id,
                epoch_us(ts) - LAG(epoch_us(ts)) OVER (
@@ -565,8 +567,10 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_avg_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4: mean time between modifications `[U: ElementMetadataExtract]`
-    — lag() then groupBy; the gap sum is exact int64 so the average is
-    engine-stable."""
+    — lag() then groupBy. All-integer output: the earlier
+    ROUND(double, 4) form hit a representable decimal midpoint at
+    sf0.1 where HALF_UP disagreed across engines; exact int64 sum +
+    floor division can never diverge."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
@@ -574,7 +578,9 @@ def window_avg_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", (us - F.lag(us).over(w)).alias("gap_us")
     ).filter(F.col("gap_us").isNotNull())
     return gaps.groupBy("user_id").agg(
-        F.round(F.sum("gap_us").cast("double") / F.count(F.lit(1)), 4).alias("avg_gap_us")
+        F.sum("gap_us").alias("sum_gap_us"),
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.expr("sum(gap_us) div count(1)").alias("avg_gap_us_floor"),
     )
 
 

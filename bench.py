@@ -80,6 +80,10 @@ def main() -> None:
         spec = cat.get(name)
         if spec is None:
             continue
+        # operators persist their shared intermediates (kNN top-k,
+        # shingle tables); drop them between queries so later timings
+        # don't inherit another operator's cache-memory pressure
+        spark.catalog.clearCache()
         # warm at the small SF first: whole-stage-codegen compiles once
         # per stage shape, so the timed run measures throughput, not
         # Janino (the shapes are identical across SFs)

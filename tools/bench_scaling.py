@@ -149,8 +149,16 @@ Regenerate: `python tools/bench_scaling.py --multiplier {args.multiplier}`.
 """
     out_path = os.path.join(ROOT, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    # preserve sections appended by other tools (e.g. the single-node
+    # reference-style comparison from tools/bench_reference_style.py)
+    marker = "\n## Single-node reference-style comparison"
+    extra = ""
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        if marker in old:
+            extra = "\n" + old[old.index(marker):]
     with open(out_path, "w") as f:
-        f.write(md)
+        f.write(md + extra)
     print(json.dumps({"n": lo, "n4": hi, "speedup": speedup, "efficiency": efficiency}))
     print(f"wrote {out_path}")
 

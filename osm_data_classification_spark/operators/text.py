@@ -238,3 +238,62 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(canon).alias("fp_md5"),
         phash_col(canon).alias("fp60"),
     )
+
+
+# ---------------------------------------------------------------------------
+# feature-hashing embeddings (text → vector, fully relational)
+# ---------------------------------------------------------------------------
+
+HASH_DIM = 16
+
+
+def _embed_sql() -> str:
+    tok_hash = PHASH("tok")
+    bucket_sums = ",\n               ".join(
+        f"sum(CASE WHEN ({tok_hash}) % {HASH_DIM} = {d} THEN 1 ELSE 0 END) AS b{d}"
+        for d in range(HASH_DIM)
+    )
+    sq = " + ".join(f"b{d} * b{d}" for d in range(HASH_DIM))
+    dims = ", ".join(
+        f"CAST(floor(b{d} * 100000 / sqrt({sq})) AS BIGINT)"
+        for d in range(HASH_DIM)
+    )
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
+    ),
+    buckets AS (
+        SELECT doc_id,
+               {bucket_sums}
+        FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, [{dims}] AS embedding_x1e5
+    FROM buckets
+    """
+
+
+@_register("text_hash_embedding", _embed_sql())
+def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing vectorizer: tokens hashed into HASH_DIM buckets,
+    counts l2-normalized — text → embedding entirely in the engine, so
+    tokenize → embed → ANN (operators/similarity.py) is one relational
+    pipeline. Values floor-scaled ×1e5 for engine-exact comparison
+    (sqrt/division are correctly-rounded IEEE in both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    h = phash_col(F.col("tok"))
+    buckets = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.pmod(h, F.lit(HASH_DIM)) == d, 1).otherwise(0)).alias(
+                f"b{d}"
+            )
+            for d in range(HASH_DIM)
+        ]
+    )
+    norm = F.sqrt(
+        sum(F.col(f"b{d}") * F.col(f"b{d}") for d in range(HASH_DIM)).cast("double")
+    )
+    dims = [
+        F.floor(F.col(f"b{d}") * 100000 / norm).cast("long") for d in range(HASH_DIM)
+    ]
+    return buckets.select("doc_id", F.array(*dims).alias("embedding_x1e5"))

@@ -115,3 +115,53 @@ class TestCheckpointResume:
             for r in spark.read.parquet(f"{tmp}/b/_lineage").collect()
         )
         assert la == lb
+
+
+def test_pip_result_independent_of_cover_res(spark, sf_dir):
+    """The cover resolution is ONLY a candidate pre-filter: the refined
+    match set is identical at coarse and fine covers (correctness never
+    depends on cover tightness — geo/pip.py)."""
+    from osm_data_classification_spark.operators.geo_ops import pip_join
+    from osm_data_classification_spark.sources.boundaries import packed_boundaries
+
+    pages = geocoded_pages(spark, sf_dir, res=7)
+    pk = packed_boundaries(50)
+    sets = []
+    for res in (5, 7, 9):
+        rows = {
+            (r["url"], r["warc_ts"], r["boundary_id"])
+            for r in pip_join(pages, pk, res=res)
+            .select("url", "warc_ts", "boundary_id")
+            .collect()
+        }
+        sets.append(rows)
+    assert sets[0] == sets[1] == sets[2]
+
+
+def test_salted_join_independent_of_nsalt(spark, sf_dir):
+    from osm_data_classification_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = ev.groupBy("user_id").count()
+    ref = None
+    for nsalt in (1, 4, 32):
+        cs = table_checksum(
+            salted_join(ev, dim, on=["user_id"], nsalt=nsalt).select(
+                "event_id", "user_id", "count"
+            )
+        )
+        ref = cs if ref is None else ref
+        assert cs == ref, f"nsalt={nsalt} changed the result"
+
+
+def test_entry_schema_stable(spark):
+    """The driver smoke-checks entry() for a stable schema; pin it."""
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert [f.name for f in df.schema.fields] == [
+        "cell", "n_edits", "n_contributors", "n_urls",
+        "n_en", "n_es", "n_de", "n_fr", "n_zh",
+        "activity_hist", "n_boundaries",
+    ]
+    assert df.count() > 0

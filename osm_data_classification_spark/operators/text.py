@@ -10,8 +10,9 @@ is `split`/`explode`, every ratio is integer-scaled (engine-exact, see
 operators/portable.py), and the only hash is the portable md5-based
 one — no Python in any of these plans.
 
-All four run over the driver's `documents` table and carry full DuckDB
-oracles.
+All of these run over the driver's `documents` table and carry full
+DuckDB oracles (token counting, quality, lang-ID, fingerprints, and
+the feature-hashing embedding).
 """
 
 from __future__ import annotations

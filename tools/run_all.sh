@@ -15,4 +15,10 @@ python bench.py
 echo "== scaling evidence (local-cluster 1 -> 4 executors) =="
 python tools/bench_scaling.py
 
+echo "== single-node reference-style comparison =="
+python tools/bench_reference_style.py
+
+echo "== operator coverage report =="
+python tools/coverage_report.py
+
 echo "== done; see BENCH/BASELINE.md =="

@@ -172,6 +172,7 @@ def knn_join(
     id_col: str = "qid",
     cand_id_col: str = "cid",
     persist: bool = True,
+    rings: "tuple[int, ...] | None" = None,
 ) -> DataFrame:
     """Exact k-nearest-neighbor join (planar squared-degree metric).
 
@@ -179,25 +180,28 @@ def knn_join(
     Returns (id_col, cand_id_col, dist_sq, rank), rank 1..k, ties broken
     on candidate id — a unique, bit-for-bit-comparable result set.
 
-    One static plan, two phases:
-      1. ring pass — probe cells exploded to the (2*ring+1)² block,
-         equi-joined to candidates on cell, per-probe top-k window;
-         a probe is CERTIFIED iff it found ≥k candidates and its kth
-         distance is within the block-boundary bound. Certification is
-         a second window over the SAME partition key (id_col), so
-         Catalyst reuses the top-k exchange — no extra shuffle.
-      2. fallback — uncertified probes (border cases, sparse cells)
-         re-scored against the full candidate set. At production scale
-         this is the rare tail, and would itself be staged as a wider
-         ring pass; correctness never depends on density assumptions.
+    Staged plan:
+      1..N. ring passes over the ``rings`` schedule — probe cells
+         exploded to the (2r+1)² block, equi-joined to candidates on
+         cell, per-probe top-k window; a probe is CERTIFIED iff it
+         found ≥k candidates and its kth distance is within the
+         block-boundary bound. Certification is a second window over
+         the SAME partition key (id_col), so Catalyst reuses the
+         top-k exchange. Probes certified at stage i never re-join.
+      adaptive. when ``rings`` is not given, a runtime count of the
+         residue decides whether one more 4×-wider ring pass is worth
+         it (AQE-style): a large residue re-rings, a tiny one goes
+         straight to the scan — small inputs keep the two-stage
+         latency, dense 10^9-candidate inputs never all-pairs scan a
+         big residue.
+      last. fallback — the remaining residue re-scored against the
+         full candidate set, so correctness never depends on density
+         assumptions.
 
-    ``persist`` caches the k·|probes|-row top-k intermediate, which is
-    consumed by three branches (certified rows, certified-id set, the
-    anti-join). It is output-sized — the thing you would checkpoint on
-    a real cluster — and without it Catalyst re-executes the ring join
-    per branch. Pick ``res`` so that a ring block holds ≳k candidates
-    (see :func:`knn_auto_res`); too fine a grid certifies nothing and
-    everything falls through to the fallback scan.
+    ``persist`` caches each stage's k·|probes|-row top-k intermediate
+    (consumed by three branches) and the shrinking probe remainder —
+    the tables you would checkpoint on a real cluster. Pick ``res`` so
+    that a ring block holds ≳k candidates (see :func:`knn_auto_res`).
     """
     qlon, qlat = "lon", "lat"
     cx, cy = xy_cols(F.col("__clon"), F.col("__clat"), res)
@@ -207,7 +211,9 @@ def knn_join(
         F.col("lat").alias("__clat"),
     ).withColumn("__cell", _grid_key(cx, cy))
 
-    probes_p = probes.select(id_col, qlon, qlat)
+    adaptive = rings is None
+    if rings is None:
+        rings = (ring,)
 
     def topk(joined: DataFrame) -> DataFrame:
         dx = F.col(qlon) - F.col("__clon")
@@ -220,27 +226,61 @@ def knn_join(
             .filter(F.col("rank") <= k)
         )
 
-    ringed = _explode_kring(probes_p, qlon, qlat, res, ring)
-    pass1 = topk(ringed.join(cand, "__cell")).withColumn(
-        "__cert_sq", _cert_bound_sq(qlon, qlat, res, ring)
-    )
-    if persist:
-        pass1 = pass1.persist()
-    wp = Window.partitionBy(id_col)
-    pass1 = pass1.withColumn("__n", F.count(F.lit(1)).over(wp)).withColumn(
-        "__kth", F.max("dist_sq").over(wp)
-    )
-    ok = (F.col("__n") >= k) & (F.col("__kth") <= F.col("__cert_sq"))
-    certified = pass1.filter(ok)
-    certified_ids = certified.select(id_col).distinct()
-
-    uncert_probes = probes_p.join(F.broadcast(certified_ids), id_col, "left_anti")
-    # broadcast hint => BroadcastNestedLoopJoin, which keeps the (small)
-    # uncertified side's partitioning instead of a 32×32-task cartesian
-    fallback = topk(uncert_probes.crossJoin(F.broadcast(cand.drop("__cell"))))
-
     out_cols = [id_col, cand_id_col, "dist_sq", "rank"]
-    return certified.select(*out_cols).unionByName(fallback.select(*out_cols))
+    remaining = probes_p = probes.select(id_col, qlon, qlat)
+    parts: list[DataFrame] = []
+    wp = Window.partitionBy(id_col)
+    for r in rings:
+        ringed = _explode_kring(remaining, qlon, qlat, res, r)
+        stage = topk(ringed.join(cand, "__cell")).withColumn(
+            "__cert_sq", _cert_bound_sq(qlon, qlat, res, r)
+        )
+        if persist:
+            stage = stage.persist()
+        stage = stage.withColumn("__n", F.count(F.lit(1)).over(wp)).withColumn(
+            "__kth", F.max("dist_sq").over(wp)
+        )
+        ok = (F.col("__n") >= k) & (F.col("__kth") <= F.col("__cert_sq"))
+        parts.append(stage.filter(ok).select(*out_cols))
+        cert_ids = stage.filter(ok).select(id_col).distinct()
+        remaining = remaining.join(F.broadcast(cert_ids), id_col, "left_anti")
+        if persist:
+            remaining = remaining.persist()
+
+    if adaptive:
+        # AQE-style runtime decision: if the residue is a meaningful
+        # fraction of the probes, a wider ring pass (16x the block) is
+        # cheaper than scanning every candidate for each residue probe;
+        # a tiny residue goes straight to the scan. The count is a
+        # driver action over the (persisted) shrunken probe set.
+        n = 1 << res
+        wider = 4 * rings[-1]
+        if 2 * wider + 1 <= n and remaining.count() > 1000:
+            ringed = _explode_kring(remaining, qlon, qlat, res, wider)
+            stage = topk(ringed.join(cand, "__cell")).withColumn(
+                "__cert_sq", _cert_bound_sq(qlon, qlat, res, wider)
+            )
+            if persist:
+                stage = stage.persist()
+            stage = stage.withColumn(
+                "__n", F.count(F.lit(1)).over(wp)
+            ).withColumn("__kth", F.max("dist_sq").over(wp))
+            ok = (F.col("__n") >= k) & (F.col("__kth") <= F.col("__cert_sq"))
+            parts.append(stage.filter(ok).select(*out_cols))
+            cert_ids = stage.filter(ok).select(id_col).distinct()
+            remaining = remaining.join(F.broadcast(cert_ids), id_col, "left_anti")
+            if persist:
+                remaining = remaining.persist()
+
+    # broadcast hint => BroadcastNestedLoopJoin, which keeps the (small)
+    # residue side's partitioning instead of a 32×32-task cartesian
+    fallback = topk(remaining.crossJoin(F.broadcast(cand.drop("__cell"))))
+    parts.append(fallback.select(*out_cols))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def knn_auto_res(n_candidates: int, k: int, ring: int = 1) -> int:

@@ -57,3 +57,17 @@ def test_knn_join_scales_10x_probes(spark, sf_dir):
     # soft perf gate: far below the quadratic scan's cost envelope
     assert elapsed < 120, f"kNN at {n} probes took {elapsed:.1f}s"
     pts.unpersist()
+
+
+def test_knn_result_independent_of_res_and_adaptive_path(spark, sf_dir):
+    """Exactness holds at ANY grid res — including a pathologically fine
+    grid where nothing certifies at ring 1, forcing the adaptive wider
+    ring pass and the residue scan."""
+    from osm_data_classification_spark.io import table_checksum
+
+    pages = geocoded_pages(spark, sf_dir, res=6).dropDuplicates(["url"])
+    pts = pages.select(F.xxhash64("url").alias("qid"), "lon", "lat").persist()
+    good = knn_join(pts, pts.withColumnRenamed("qid", "cid"), k=3, res=4)
+    bad = knn_join(pts, pts.withColumnRenamed("qid", "cid"), k=3, res=10)
+    assert table_checksum(good) == table_checksum(bad)
+    pts.unpersist()

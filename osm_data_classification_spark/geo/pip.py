@@ -118,6 +118,40 @@ class PackedPolygons:
             return np.empty(0, np.int64), np.empty(0, np.int64)
         return np.concatenate(cells), np.concatenate(bids)
 
+    # -- per-worker refine index -------------------------------------------
+
+    def _ensure_index(self) -> None:
+        """Lazily build (once per worker, vectorized) the structures
+        that make the refine O(candidate rings) instead of
+        O(all boundaries × all rings):
+
+        * ``_rings_by_b`` + ``_ring_off``: CSR-style boundary→rings
+          lookup, replacing the ``ring_boundary == b`` full scan that
+          made each batch linear in the TOTAL ring count;
+        * ``_ring_bbox``: per-ring bboxes (``np.minimum.reduceat``
+          over the packed coordinate arrays — no Python loop), the
+          bbox-grid prefilter that skips rings which cannot contribute
+          a crossing for any point in the batch.
+        """
+        if getattr(self, "_rings_by_b", None) is not None:
+            return
+        order = np.argsort(self.ring_boundary, kind="stable")
+        counts = np.bincount(self.ring_boundary, minlength=self.n_boundaries)
+        self._ring_off = np.r_[0, np.cumsum(counts)]
+        self._rings_by_b = order
+        if len(self.xs):
+            seg = self.ring_start[:-1]
+            self._ring_bbox = np.column_stack(
+                [
+                    np.minimum.reduceat(self.xs, seg),
+                    np.minimum.reduceat(self.ys, seg),
+                    np.maximum.reduceat(self.xs, seg),
+                    np.maximum.reduceat(self.ys, seg),
+                ]
+            )
+        else:
+            self._ring_bbox = np.empty((0, 4), dtype=np.float64)
+
     # -- exact refine -------------------------------------------------------
 
     def contains(self, bidx: np.ndarray, px: np.ndarray, py: np.ndarray) -> np.ndarray:
@@ -127,6 +161,7 @@ class PackedPolygons:
         against all its candidate points in one (npts × nsegs) numpy
         broadcast — no Python-per-row anywhere (BASELINE.json:15).
         """
+        self._ensure_index()
         bidx = np.asarray(bidx, dtype=np.int64)
         px = np.asarray(px, dtype=np.float64)
         py = np.asarray(py, dtype=np.float64)
@@ -152,16 +187,27 @@ class PackedPolygons:
 
     def _raycast(self, b: int, px: np.ndarray, py: np.ndarray) -> np.ndarray:
         crossings = np.zeros(len(px), dtype=np.int64)
-        rings = np.flatnonzero(self.ring_boundary == b)
+        rings = self._rings_by_b[self._ring_off[b] : self._ring_off[b + 1]]
         for r in rings:
+            # ring-bbox prefilter: a ring can only contribute a
+            # crossing when the point's py is inside the ring's
+            # y-range and px is left of its xmax — outside either,
+            # `cond` / `px < xint` below are identically false, so
+            # skipping is exact (not an approximation)
+            rymin, rymax = self._ring_bbox[r, 1], self._ring_bbox[r, 3]
+            rxmax = self._ring_bbox[r, 2]
+            m = (py >= rymin) & (py <= rymax) & (px < rxmax)
+            if not m.any():
+                continue
+            mpx, mpy = px[m], py[m]
             s, e = self.ring_start[r], self.ring_start[r + 1]
             x1, y1 = self.xs[s : e - 1], self.ys[s : e - 1]
             x2, y2 = self.xs[s + 1 : e], self.ys[s + 1 : e]
             # (npts, nsegs) broadcast; half-open vertical rule
-            cond = (y1[None, :] > py[:, None]) != (y2[None, :] > py[:, None])
+            cond = (y1[None, :] > mpy[:, None]) != (y2[None, :] > mpy[:, None])
             with np.errstate(divide="ignore", invalid="ignore"):
-                t = (py[:, None] - y1[None, :]) / (y2[None, :] - y1[None, :])
+                t = (mpy[:, None] - y1[None, :]) / (y2[None, :] - y1[None, :])
                 xint = x1[None, :] + t * (x2[None, :] - x1[None, :])
-            hit = cond & (px[:, None] < xint)
-            crossings += hit.sum(axis=1)
+            hit = cond & (mpx[:, None] < xint)
+            crossings[m] += hit.sum(axis=1)
         return (crossings & 1).astype(bool)

@@ -42,10 +42,16 @@ def flagship(
     tiles = tile_aggregate(
         matched, res=res, cell_col="cell", contributor_col="contributor"
     )
-    # boundary hit-count per tile (distinct boundaries matched in the cell)
+    # boundary hit-count per tile — two-phase distinct, matching the
+    # skew-proof tile-agg shape: phase 1 reduces to distinct
+    # (cell, boundary_id) pairs with map-side partial aggregation (a
+    # mega-cell's duplicate hits collapse before the shuffle), phase 2
+    # counts per cell. A single-phase countDistinct would plan an
+    # Expand and funnel every mega-cell row into one reduce group.
     bhits = (
         matched.select("cell", "boundary_id")
+        .distinct()
         .groupBy("cell")
-        .agg(F.countDistinct("boundary_id").alias("n_boundaries"))
+        .agg(F.count(F.lit(1)).alias("n_boundaries"))
     )
     return tiles.join(bhits, "cell", "left").fillna(0, subset=["n_boundaries"])

@@ -37,7 +37,14 @@ def connected_components(
     edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
 ) -> DataFrame:
     """(node, component) with component = min node id reachable.
-    Undirected; isolated nodes of the edge set keep their own id."""
+    Undirected; isolated nodes of the edge set keep their own id.
+
+    Raises ``RuntimeError`` if the fixpoint is not reached within
+    ``max_iter`` rounds (a component with diameter > max_iter) —
+    silently returning unconverged labels would hand the caller a
+    WRONG clustering (round-2 ADVICE). Label propagation converges in
+    O(diameter); raise max_iter or swap in large-star/small-star for
+    pathological graphs."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -58,6 +65,13 @@ def connected_components(
             .agg(F.min("comp").alias("nbr_comp"))
             .withColumnRenamed("a", "node")
         )
+        # localCheckpoint, not persist: persist caches the DATA but the
+        # LOGICAL plan still grows by one join+agg per round, and
+        # Catalyst re-analyzes the whole lineage every iteration —
+        # quadratic-and-worse planning time by round ~20 (measured:
+        # a 24-round path graph ran minutes/round). Checkpointing
+        # truncates the plan to the materialized result each round —
+        # the standard Spark iterative-algorithm shape.
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
@@ -66,7 +80,7 @@ def connected_components(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -78,6 +92,13 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            f"iterations (last round changed {changed} labels); "
+            "raise max_iter for graphs with diameter > max_iter"
+        )
     sym.unpersist()
     return labels
 

@@ -301,8 +301,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     16 permutations, 4 bands × 4 rows (~s-curve threshold ≈ 0.5)."""
     # the distinct shingle set feeds four branches (signatures, both
     # sides of the Jaccard verify, the size table); persist it once —
-    # at production scale this is the checkpointed shingle table
-    sh = shingles(spread(corpus(spark, sf_dir))).distinct().persist()
+    # at production scale this is the checkpointed shingle table.
+    # shingler: the Arrow-batched mapInPandas twin is the default
+    # (~30µs/shingle interpreted HOF vs ~1µs vectorized — the HOF
+    # version stays as the parity twin, equality pinned in
+    # tests/test_dedup.py).
+    sh = shingles_vectorized(spread(corpus(spark, sf_dir))).distinct().persist()
     # materialize the md5-based hash ONCE per shingle: inlining phash
     # into the 16 permutation aggregates would evaluate 16 md5s per row
     hashed = sh.select("doc_id", phash_col(F.col("shingle")).alias("__h"))

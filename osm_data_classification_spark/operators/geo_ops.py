@@ -111,25 +111,34 @@ def _explode_kring(
     inlined copies."""
     n = 1 << res
     x, y = xy_cols(F.col(lon_col), F.col(lat_col), res)
-    offsets = F.array(
-        *[
-            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-            for dx in range(-ring, ring + 1)
-            for dy in range(-ring, ring + 1)
-        ]
-    )
+    # x wraps, so when the ring spans the whole grid (2*ring+1 >= n)
+    # distinct dx offsets must be capped at exactly n, or pmod maps two
+    # offsets to the same cell and the probe sees duplicate candidate
+    # rows (duplicate rows get distinct top-k ranks => wrong result,
+    # and the infinite cert bound would CERTIFY it). y clamps, so its
+    # range only needs trimming to the grid height for plan size.
+    if 2 * ring + 1 <= n:
+        dx_lo, dx_hi = -ring, ring
+    else:
+        dx_lo, dx_hi = -(n // 2), n - n // 2 - 1
+    dy = min(ring, n - 1)
     out = (
         df.withColumn("__x", x)
         .withColumn("__y", y)
-        .withColumn("__o", F.explode(offsets))
-        .withColumn("__ny", F.col("__y") + F.col("__o.dy"))
+        .select(
+            "*", F.explode(F.sequence(F.lit(dx_lo), F.lit(dx_hi))).alias("__dx")
+        )
+        .select(
+            "*", F.explode(F.sequence(F.lit(-dy), F.lit(dy))).alias("__dy")
+        )
+        .withColumn("__ny", F.col("__y") + F.col("__dy"))
         .filter((F.col("__ny") >= 0) & (F.col("__ny") < n))
         .withColumn(
             "__cell",
-            _grid_key(F.pmod(F.col("__x") + F.col("__o.dx"), F.lit(n)), F.col("__ny")),
+            _grid_key(F.pmod(F.col("__x") + F.col("__dx"), F.lit(n)), F.col("__ny")),
         )
     )
-    return out.drop("__x", "__y", "__o", "__ny")
+    return out.drop("__x", "__y", "__dx", "__dy", "__ny")
 
 
 def _cert_bound_sq(lon_col: str, lat_col: str, res: int, ring: int) -> Column:
@@ -188,15 +197,13 @@ def knn_join(
          block-boundary bound. Certification is a second window over
          the SAME partition key (id_col), so Catalyst reuses the
          top-k exchange. Probes certified at stage i never re-join.
-      adaptive. when ``rings`` is not given, a runtime count of the
-         residue decides whether one more 4×-wider ring pass is worth
-         it (AQE-style): a large residue re-rings, a tiny one goes
-         straight to the scan — small inputs keep the two-stage
-         latency, dense 10^9-candidate inputs never all-pairs scan a
-         big residue.
-      last. fallback — the remaining residue re-scored against the
-         full candidate set, so correctness never depends on density
-         assumptions.
+      residue. density-guided widening: one global candidate count
+         picks the ring expected to certify (~4k candidates per
+         block); doubling covers skew; the terminal pass is either a
+         partitioned cartesian (sparse grids) or the full-cover cell
+         join (dense grids) — in no case is the candidate set
+         broadcast, and every pass's cost scales with the residue,
+         never the candidate count.
 
     ``persist`` caches each stage's k·|probes|-row top-k intermediate
     (consumed by three branches) and the shrinking probe remainder —
@@ -211,7 +218,6 @@ def knn_join(
         F.col("lat").alias("__clat"),
     ).withColumn("__cell", _grid_key(cx, cy))
 
-    adaptive = rings is None
     if rings is None:
         rings = (ring,)
 
@@ -240,42 +246,71 @@ def knn_join(
         stage = stage.withColumn("__n", F.count(F.lit(1)).over(wp)).withColumn(
             "__kth", F.max("dist_sq").over(wp)
         )
-        ok = (F.col("__n") >= k) & (F.col("__kth") <= F.col("__cert_sq"))
+        # STRICT <: a candidate just outside the block at exactly the
+        # boundary distance could win the (dist_sq, cid) tie-break, so
+        # an exact tie must fall through to the wider ring
+        ok = (F.col("__n") >= k) & (F.col("__kth") < F.col("__cert_sq"))
         parts.append(stage.filter(ok).select(*out_cols))
         cert_ids = stage.filter(ok).select(id_col).distinct()
         remaining = remaining.join(F.broadcast(cert_ids), id_col, "left_anti")
         if persist:
             remaining = remaining.persist()
 
-    if adaptive:
-        # AQE-style runtime decision: if the residue is a meaningful
-        # fraction of the probes, a wider ring pass (16x the block) is
-        # cheaper than scanning every candidate for each residue probe;
-        # a tiny residue goes straight to the scan. The count is a
-        # driver action over the (persisted) shrunken probe set.
-        n = 1 << res
-        wider = 4 * rings[-1]
-        if 2 * wider + 1 <= n and remaining.count() > 1000:
-            ringed = _explode_kring(remaining, qlon, qlat, res, wider)
-            stage = topk(ringed.join(cand, "__cell")).withColumn(
-                "__cert_sq", _cert_bound_sq(qlon, qlat, res, wider)
+    # --- residue: density-guided ring widening to certification ----------
+    # Round-1's terminal fallback broadcast the FULL candidate set
+    # (broadcast OOM at 10^9 candidates regardless of residue size).
+    # Replaced: if any probes remain uncertified after the scheduled
+    # rings, measure the global candidate density ONCE and jump
+    # straight to the ring whose block is expected to hold ~4k
+    # candidates (instead of doubling up from ring 1 — a pass per
+    # doubling is real wall time), then double on skew misses. Each
+    # pass is a cell equi-join whose cost scales with the residue,
+    # never the candidate count, and certification is exact. Terminal
+    # exactness (also covers k > |candidates| and extreme skew):
+    #   * sparse grid (|cand| < n²/2): residue × candidates as a
+    #     PARTITIONED cartesian — |residue|·|cand| streamed work
+    #     spread across tasks, nothing broadcast, no OOM ceiling;
+    #   * dense grid: full-cover k-ring — the cell equi-join IS the
+    #     exact scan, partitioned on cell on both sides.
+    # Runtime counts run over the persisted, shrinking residue.
+    n = 1 << res
+    if not remaining.isEmpty():
+        import math
+
+        n_cand = cand.count()
+        # block side that yields ~4k expected candidates under uniform
+        # density; skew beyond it is caught by doubling
+        side = math.isqrt((4 * k * n * n) // max(1, n_cand)) + 1
+        r = max(2 * rings[-1], (side - 1) // 2 + 1)
+        while True:
+            r = min(r, n)
+            full_cover = (2 * r + 1 >= n) and (r >= n - 1)
+            if full_cover and n_cand < (n * n) // 2:
+                scan = remaining.crossJoin(cand.drop("__cell"))
+                parts.append(topk(scan).select(*out_cols))
+                break
+            ringed = _explode_kring(remaining, qlon, qlat, res, r)
+            stage = topk(ringed.join(cand, "__cell"))
+            if full_cover:
+                parts.append(stage.select(*out_cols))
+                break
+            stage = stage.withColumn(
+                "__cert_sq", _cert_bound_sq(qlon, qlat, res, r)
             )
             if persist:
                 stage = stage.persist()
-            stage = stage.withColumn(
-                "__n", F.count(F.lit(1)).over(wp)
-            ).withColumn("__kth", F.max("dist_sq").over(wp))
-            ok = (F.col("__n") >= k) & (F.col("__kth") <= F.col("__cert_sq"))
+            stage = stage.withColumn("__n", F.count(F.lit(1)).over(wp)).withColumn(
+                "__kth", F.max("dist_sq").over(wp)
+            )
+            ok = (F.col("__n") >= k) & (F.col("__kth") < F.col("__cert_sq"))
             parts.append(stage.filter(ok).select(*out_cols))
             cert_ids = stage.filter(ok).select(id_col).distinct()
             remaining = remaining.join(F.broadcast(cert_ids), id_col, "left_anti")
             if persist:
                 remaining = remaining.persist()
-
-    # broadcast hint => BroadcastNestedLoopJoin, which keeps the (small)
-    # residue side's partitioning instead of a 32×32-task cartesian
-    fallback = topk(remaining.crossJoin(F.broadcast(cand.drop("__cell"))))
-    parts.append(fallback.select(*out_cols))
+            if remaining.isEmpty():
+                break
+            r = 2 * r
 
     out = parts[0]
     for p in parts[1:]:

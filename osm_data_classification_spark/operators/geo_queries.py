@@ -40,6 +40,16 @@ from ..sources.pages import geocoded_pages
 CATALOG: dict[str, QuerySpec] = {}
 
 
+def _flatten_hist(df: DataFrame, col: str = "activity_hist") -> DataFrame:
+    """Driver-boundary flattening: the driver's pandas canonicalizer
+    crashes on array-typed output columns (round-1 ERROR on
+    text_hash_embedding), so catalog entries render the day-of-week
+    histogram as a '|'-joined string. DuckDB mirror: array_to_string.
+    Internal consumers (tile_ladder, lineage, streaming) keep the
+    typed array."""
+    return df.withColumn(col, F.array_join(F.col(col).cast("array<string>"), "|"))
+
+
 def _register(name: str, sql=None):
     def deco(fn):
         CATALOG[name] = QuerySpec(fn, sql)
@@ -170,16 +180,21 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LANGS = ("en", "es", "de", "fr", "zh")
+# CAST: DuckDB SUM(int) is HUGEINT -> float64 in the driver's pandas
+# canon while Spark emits int64 (round-1 hash-fail class)
 _LANG_SUMS = ",\n           ".join(
-    f"sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS n_{lg}" for lg in _LANGS
+    f"CAST(sum(CASE WHEN lang = '{lg}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{lg}"
+    for lg in _LANGS
 )
+# activity_hist is flattened to a '|'-joined string: array-typed output
+# columns crash the driver's pandas canonicalization (round-1 ERROR)
 _HIST = (
-    "["
+    "array_to_string(["
     + ", ".join(
         f"sum(CASE WHEN dayofweek(warc_ts) + 1 = {d} THEN 1 ELSE 0 END)"
         for d in range(1, 8)
     )
-    + "] AS activity_hist"
+    + "], '|') AS activity_hist"
 )
 
 
@@ -205,7 +220,7 @@ def geo_tile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = geocoded_pages(spark, sf_dir, res=7).withColumn(
         "contributor", F.regexp_extract("url", r"site(\d+)", 1).cast("long")
     )
-    return tile_aggregate(pages, res=7, cell_col="cell")
+    return _flatten_hist(tile_aggregate(pages, res=7, cell_col="cell"))
 
 
 def _ladder_sql() -> str:
@@ -229,9 +244,10 @@ def _ladder_sql() -> str:
         parent = CELL_PARENT_SQL("cell", 9, r)
         levels.append(
             f"""SELECT {parent} AS cell,
-               sum(n_edits) AS n_edits,
-               {", ".join(f"sum(n_{lg}) AS n_{lg}" for lg in _LANGS)},
-               [{", ".join(f"sum(h{d})" for d in range(1, 8))}] AS activity_hist,
+               CAST(sum(n_edits) AS BIGINT) AS n_edits,
+               {", ".join(f"CAST(sum(n_{lg}) AS BIGINT) AS n_{lg}" for lg in _LANGS)},
+               array_to_string([{", ".join(f"sum(h{d})" for d in range(1, 8))}], '|')
+                   AS activity_hist,
                {r} AS res
         FROM hist_sums GROUP BY 1"""
         )
@@ -247,7 +263,7 @@ def rollup_res_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contributor", F.regexp_extract("url", r"site(\d+)", 1).cast("long")
     )
     tiles9 = tile_aggregate(pages, res=9, cell_col="cell")
-    return tile_ladder(tiles9, 9, 5)
+    return _flatten_hist(tile_ladder(tiles9, 9, 5))
 
 
 @_register("lineage_metrics")

@@ -95,9 +95,17 @@ def grouped_zscore_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
 
     def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        from decimal import Decimal
+        from decimal import ROUND_HALF_UP, Decimal
 
-        total = sum(Decimal(str(round(v, 4))) for v in pdf["value"])
+        # HALF_UP quantize, not Python round(): round() is banker's
+        # rounding, but DuckDB ROUND (and Spark F.round) are
+        # half-away-from-zero — exact scale-4 midpoints like 0.03125
+        # would diverge (round-2 ADVICE)
+        q4 = Decimal("0.0001")
+        total = sum(
+            Decimal(repr(float(v))).quantize(q4, rounding=ROUND_HALF_UP)
+            for v in pdf["value"]
+        )
         mu = float(total) / len(pdf)
         return pd.DataFrame(
             {

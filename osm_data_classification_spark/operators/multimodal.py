@@ -133,7 +133,15 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    return extract_features(docs)
+    # flatten the features array for the driver: its pandas canon
+    # crashes on list-typed output columns (round-1 ERROR class)
+    return extract_features(docs).select(
+        "doc_id",
+        "n_bytes",
+        "width",
+        "height",
+        F.posexplode("features").alias("feat_idx", "feat_val"),
+    )
 
 
 # ---------------------------------------------------------------------------

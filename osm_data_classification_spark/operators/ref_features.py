@@ -149,11 +149,11 @@ def ref_element_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT chgset,
            min(uid) AS uid,
            count(*) AS n_mods,
-           sum(CASE WHEN elem = 'node' THEN 1 ELSE 0 END) AS n_node,
-           sum(CASE WHEN elem = 'way' THEN 1 ELSE 0 END) AS n_way,
-           sum(CASE WHEN elem = 'relation' THEN 1 ELSE 0 END) AS n_relation,
-           sum(CASE WHEN init THEN 1 ELSE 0 END) AS n_created,
-           sum(CASE WHEN NOT visible THEN 1 ELSE 0 END) AS n_deleted,
+           CAST(sum(CASE WHEN elem = 'node' THEN 1 ELSE 0 END) AS BIGINT) AS n_node,
+           CAST(sum(CASE WHEN elem = 'way' THEN 1 ELSE 0 END) AS BIGINT) AS n_way,
+           CAST(sum(CASE WHEN elem = 'relation' THEN 1 ELSE 0 END) AS BIGINT) AS n_relation,
+           CAST(sum(CASE WHEN init THEN 1 ELSE 0 END) AS BIGINT) AS n_created,
+           CAST(sum(CASE WHEN NOT visible THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
            {_EPOCH.format(c='max(ts)')} - {_EPOCH.format(c='min(ts)')}
                AS duration_s
     FROM enr GROUP BY chgset
@@ -189,27 +189,32 @@ def ref_changeset_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_edits,
                count(DISTINCT chgset) AS n_chgsets,
                count(DISTINCT elem || '|' || CAST(id AS VARCHAR)) AS n_elements,
-               sum(CASE WHEN elem = 'node' THEN 1 ELSE 0 END) AS n_node_edits,
-               sum(CASE WHEN elem = 'way' THEN 1 ELSE 0 END) AS n_way_edits,
-               sum(CASE WHEN elem = 'relation' THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN elem = 'node' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_node_edits,
+               CAST(sum(CASE WHEN elem = 'way' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_way_edits,
+               CAST(sum(CASE WHEN elem = 'relation' THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_relation_edits,
-               sum(CASE WHEN init THEN 1 ELSE 0 END) AS n_init,
-               sum(CASE WHEN willbe_corr THEN 1 ELSE 0 END) AS n_willbe_corr,
-               sum(CASE WHEN willbe_autocorr THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN init THEN 1 ELSE 0 END) AS BIGINT) AS n_init,
+               CAST(sum(CASE WHEN willbe_corr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_willbe_corr,
+               CAST(sum(CASE WHEN willbe_autocorr THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_willbe_autocorr,
-               sum(CASE WHEN is_corr THEN 1 ELSE 0 END) AS n_is_corr,
-               sum(CASE WHEN is_autocorr THEN 1 ELSE 0 END) AS n_is_autocorr,
-               sum(CASE WHEN NOT visible THEN 1 ELSE 0 END) AS n_deletions,
+               CAST(sum(CASE WHEN is_corr THEN 1 ELSE 0 END) AS BIGINT) AS n_is_corr,
+               CAST(sum(CASE WHEN is_autocorr THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_is_autocorr,
+               CAST(sum(CASE WHEN NOT visible THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_deletions,
                min(ts) AS first_at,
                max(ts) AS last_at,
                count(DISTINCT CAST(ts AS DATE)) AS n_active_days,
-               sum(CASE WHEN dayofweek(ts) + 1 = 1 THEN 1 ELSE 0 END) AS dow_1,
-               sum(CASE WHEN dayofweek(ts) + 1 = 2 THEN 1 ELSE 0 END) AS dow_2,
-               sum(CASE WHEN dayofweek(ts) + 1 = 3 THEN 1 ELSE 0 END) AS dow_3,
-               sum(CASE WHEN dayofweek(ts) + 1 = 4 THEN 1 ELSE 0 END) AS dow_4,
-               sum(CASE WHEN dayofweek(ts) + 1 = 5 THEN 1 ELSE 0 END) AS dow_5,
-               sum(CASE WHEN dayofweek(ts) + 1 = 6 THEN 1 ELSE 0 END) AS dow_6,
-               sum(CASE WHEN dayofweek(ts) + 1 = 7 THEN 1 ELSE 0 END) AS dow_7
+               CAST(sum(CASE WHEN dayofweek(ts) + 1 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dow_1,
+               CAST(sum(CASE WHEN dayofweek(ts) + 1 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dow_2,
+               CAST(sum(CASE WHEN dayofweek(ts) + 1 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS dow_3,
+               CAST(sum(CASE WHEN dayofweek(ts) + 1 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS dow_4,
+               CAST(sum(CASE WHEN dayofweek(ts) + 1 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS dow_5,
+               CAST(sum(CASE WHEN dayofweek(ts) + 1 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS dow_6,
+               CAST(sum(CASE WHEN dayofweek(ts) + 1 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS dow_7
         FROM enr GROUP BY uid
     )
     SELECT *,
@@ -233,7 +238,8 @@ def ref_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {HISTORY_SQL},
     first_row AS (
         SELECT chgset, editor,
-               row_number() OVER (PARTITION BY chgset ORDER BY ts, version)
+               row_number() OVER (PARTITION BY chgset
+                                  ORDER BY ts, version, elem, id)
                    AS rn
         FROM hist QUALIFY rn = 1
     ),
@@ -252,9 +258,11 @@ def ref_editor_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3+A6: editor normalization + top-K vocabulary, driver-gated.
     features.editor_table uses first(), which is order-nondeterministic
     in Spark, so both engines instead pin the chgset's editor to the
-    row_number-1 row ordered by (ts, version)."""
+    row_number-1 row ordered by (ts, version, elem, id) — (elem, id)
+    makes the order total (two elements can share ts+version within a
+    chgset), so the pick is engine/partitioning-independent."""
     hist = history_from_events(spark, sf_dir)
-    w = Window.partitionBy("chgset").orderBy("ts", "version")
+    w = Window.partitionBy("chgset").orderBy("ts", "version", "elem", "id")
     ed = (
         hist.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -321,7 +321,9 @@ EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
     FROM events GROUP BY user_id
     """.format(
         cols=",\n           ".join(
-            f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+            # CAST: DuckDB SUM(int) is HUGEINT -> float64 in the
+            # driver's pandas canon, vs Spark int64 (r1 hash fail)
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
             for t in EVENT_TYPES
         )
     ),
@@ -349,7 +351,8 @@ def agg_pivot_eventtype(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(MIN(ts), '{fmt}') AS first_seen,
            strftime(MAX(ts), '{fmt}') AS last_seen,
            {vsum} AS total_value,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_errors,
            ROUND(CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE)
                  / COUNT(*), 6) AS error_rate
     FROM events GROUP BY user_id
@@ -377,11 +380,21 @@ def agg_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: HLL++ sketch — the documented fast path for `nunique` at
     10^12 rows (exact countDistinct needs a full shuffle of the keys;
-    approx_count_distinct is one pass, mergeable map-side)."""
+    approx_count_distinct is one pass, mergeable map-side). The result
+    carries its own error-bound verdict (|approx-exact| within 3·rsd),
+    so even the driver's rows-only record demonstrates the bound."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.agg(
+    agg = ev.agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users"))
+    return agg.select(
+        "approx_users",
+        "exact_users",
+        (err <= F.greatest(F.lit(1), F.lit(3 * 0.01) * F.col("exact_users"))).alias(
+            "within_3rsd"
+        ),
     )
 
 
@@ -426,7 +439,7 @@ def topk_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "rollup_lang_source",
     """
-    SELECT lang, source, COUNT(*) AS n, SUM(n_chars) AS chars
+    SELECT lang, source, COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
     FROM documents GROUP BY ROLLUP(lang, source)
     """,
 )
@@ -553,9 +566,9 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_avg_gap",
     """
     SELECT user_id,
-           SUM(gap_us) AS sum_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
            COUNT(*) AS n_gaps,
-           SUM(gap_us) // COUNT(*) AS avg_gap_us_floor
+           CAST(SUM(gap_us) // COUNT(*) AS BIGINT) AS avg_gap_us_floor
     FROM (
         SELECT user_id,
                epoch_us(ts) - LAG(epoch_us(ts)) OVER (

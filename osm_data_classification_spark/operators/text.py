@@ -106,13 +106,15 @@ _STOP_IN = ", ".join(f"'{w}'" for w in STOPWORDS)
     )
     SELECT d.doc_id,
            a.n_tokens,
-           (a.n_stop * 1000) // a.n_tokens AS stop_ratio_x1000,
-           (a.n_distinct * 1000) // a.n_tokens AS ttr_x1000,
+           -- CAST: n_stop is SUM(int) = HUGEINT -> float64 in pandas;
+           -- everything it touches must come back to BIGINT (r1 fail)
+           CAST((a.n_stop * 1000) // a.n_tokens AS BIGINT) AS stop_ratio_x1000,
+           CAST((a.n_distinct * 1000) // a.n_tokens AS BIGINT) AS ttr_x1000,
            CASE WHEN d.n_chars BETWEEN 100 AND 10000 THEN 1 ELSE 0 END AS len_ok,
-           ((a.n_distinct * 1000) // a.n_tokens
+           CAST(((a.n_distinct * 1000) // a.n_tokens
              + (1000 - (a.n_stop * 1000) // a.n_tokens)
              + CASE WHEN d.n_chars BETWEEN 100 AND 10000 THEN 1000 ELSE 0 END)
-             // 3 AS quality_x1000
+             // 3 AS BIGINT) AS quality_x1000
     FROM documents d JOIN agg a USING (doc_id)
     """,
 )
@@ -166,7 +168,7 @@ def _lang_sql() -> str:
     for lg, markers in LANG_MARKERS.items():
         inlist = ", ".join(f"'{m}'" for m in markers)
         score_cols.append(
-            f"sum(CASE WHEN tok IN ({inlist}) THEN 1 ELSE 0 END) AS s_{lg}"
+            f"CAST(sum(CASE WHEN tok IN ({inlist}) THEN 1 ELSE 0 END) AS BIGINT) AS s_{lg}"
         )
     scores = ",\n               ".join(score_cols)
     # argmax with fixed tie-break order en > de > es > fr
@@ -259,6 +261,9 @@ def _embed_sql() -> str:
         f"CAST(floor(b{d} * 100000 / sqrt({sq})) AS BIGINT)"
         for d in range(HASH_DIM)
     )
+    # output is FLATTENED to (doc_id, dim, val): the driver's pandas
+    # canonicalizer crashes sorting a list-typed column (r1 ERROR) —
+    # zipped unnest over the literal array + generate_series positions
     return f"""
     WITH tok AS (
         SELECT doc_id, unnest({TOKENS_SQL}) AS tok FROM documents
@@ -268,7 +273,9 @@ def _embed_sql() -> str:
                {bucket_sums}
         FROM tok GROUP BY doc_id
     )
-    SELECT doc_id, [{dims}] AS embedding_x1e5
+    SELECT doc_id,
+           unnest(generate_series(0, {HASH_DIM - 1})) AS dim,
+           unnest([{dims}]) AS val
     FROM buckets
     """
 
@@ -279,7 +286,9 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts l2-normalized — text → embedding entirely in the engine, so
     tokenize → embed → ANN (operators/similarity.py) is one relational
     pipeline. Values floor-scaled ×1e5 for engine-exact comparison
-    (sqrt/division are correctly-rounded IEEE in both engines)."""
+    (sqrt/division are correctly-rounded IEEE in both engines).
+    Output is one row per (doc_id, dim) — array columns crash the
+    driver's pandas canonicalization (round-1 ERROR)."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
     h = phash_col(F.col("tok"))
@@ -297,4 +306,6 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     dims = [
         F.floor(F.col(f"b{d}") * 100000 / norm).cast("long") for d in range(HASH_DIM)
     ]
-    return buckets.select("doc_id", F.array(*dims).alias("embedding_x1e5"))
+    return buckets.select(
+        "doc_id", F.posexplode(F.array(*dims)).alias("dim", "val")
+    ).select("doc_id", F.col("dim").cast("long").alias("dim"), "val")

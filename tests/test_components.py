@@ -53,3 +53,18 @@ def test_dedup_clusters_contain_planted_groups(spark, sf_dir):
     # cluster ids partition all docs exactly once
     total = sum(s for s, _ in out.values())
     assert total == dedup.corpus(spark, sf_dir).count()
+
+
+def test_components_long_path_converges(spark):
+    """A 25-node path graph: min-label propagation moves one hop per
+    round, so max_iter=5 cannot converge — it must raise loudly, never
+    silently return wrong labels (round-2 ADVICE); with max_iter=30 it
+    converges to the exact single component."""
+    import pytest
+
+    edges = [(i, i + 1) for i in range(24)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=5)
+    got = {r["node"]: r["comp"] for r in connected_components(df, max_iter=30).collect()}
+    assert got == {i: 0 for i in range(25)}

@@ -120,6 +120,33 @@ def test_knn_join_parity(spark, sf_dir, pages_pd):
     assert np.allclose(got["dist_sq"].to_numpy(), odf["dist_sq"].to_numpy())
 
 
+def test_knn_join_tiny_grid_wrap(spark):
+    """Wrap regression (round-2 ADVICE): at res<=2 a ring-1 block is
+    wider than the whole grid, so x offsets wrap — un-deduped offsets
+    used to produce duplicate (probe,candidate) pairs that certified
+    with wrong ranks. Exactness against the brute oracle at res 1 and
+    2 with <36 points, where every probe takes the wrapped path."""
+    rng = np.random.default_rng(7)
+    m = 30
+    lon = rng.uniform(-179, 179, m)
+    lat = rng.uniform(-85, 85, m)
+    qid = np.arange(m, dtype=np.int64)
+    pts = spark.createDataFrame(pd.DataFrame({"qid": qid, "lon": lon, "lat": lat}))
+    oracle = pd.DataFrame(knn_bruteforce(lon, lat, qid, lon, lat, qid, k=4))
+    odf = oracle.sort_values(["qid", "rank"]).reset_index(drop=True)
+    for res in (1, 2):
+        got = (
+            knn_join(pts, pts.withColumnRenamed("qid", "cid"), k=4, res=res)
+            .toPandas()
+            .sort_values(["qid", "rank"])
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(odf), f"res={res}"
+        assert np.array_equal(got["qid"].to_numpy(), odf["qid"].to_numpy())
+        assert np.array_equal(got["cid"].to_numpy(), odf["cid"].to_numpy())
+        assert np.allclose(got["dist_sq"].to_numpy(), odf["dist_sq"].to_numpy())
+
+
 def test_tile_assignments_bit_for_bit(spark, sf_dir, pages_pd):
     """Tile aggregation ≡ pandas oracle on every integer measure, and
     invariant across shuffle-partition settings."""

@@ -110,3 +110,49 @@ def test_shingles_adversarial(spark, adversarial_docs):
          dedup.shingles_vectorized(adversarial_docs).collect()}
     h = {(r["doc_id"], r["shingle"]) for r in sh}
     assert v == h  # vectorized twin agrees even on adversarial input
+
+
+def test_pip_join_5000_boundaries(spark, sf_dir):
+    """100x boundary count (round-2 VERDICT #6): the refine must stay
+    O(candidate rings) — CSR ring lookup + per-ring bbox prefilter —
+    so 5,000 boundaries complete comfortably, and a sampled subset
+    still matches the numpy kernel exactly."""
+    pages = geocoded_pages(spark, sf_dir, res=7)
+    pk = packed_boundaries(5000)
+    t0 = time.perf_counter()
+    matched = pip_join(pages, pk, res=7).select("url", "lon", "lat", "boundary_id")
+    rows = matched.collect()
+    elapsed = time.perf_counter() - t0
+    assert elapsed < 180
+    assert len(rows) > 0
+    sample = rows[:2000]
+    bidx = pk.index_of(np.array([r["boundary_id"] for r in sample]))
+    inside = pk.contains(
+        bidx,
+        np.array([r["lon"] for r in sample]),
+        np.array([r["lat"] for r in sample]),
+    )
+    assert inside.all()
+
+
+def test_pip_refine_cost_independent_of_total_boundaries():
+    """Kernel-level scaling evidence: refining the SAME number of
+    candidate pairs (targeting the same 100 boundary indexes) must not
+    get slower when the packed index holds 10x the boundaries — the
+    old linear `ring_boundary == b` scan made every batch O(total
+    rings); the CSR index makes it O(rings of the batch)."""
+    rng = np.random.default_rng(11)
+    m = 50_000
+    px = rng.uniform(-170, 170, m)
+    py = rng.uniform(-70, 70, m)
+    times = {}
+    for n in (500, 5000):
+        pk = packed_boundaries(n)
+        bidx = rng.integers(0, 100, m).astype(np.int64)
+        pk.contains(bidx[:100], px[:100], py[:100])  # warm: build index
+        t0 = time.perf_counter()
+        pk.contains(bidx, px, py)
+        times[n] = time.perf_counter() - t0
+    # identical pair count, same target boundaries: a linear-in-total
+    # scan would be ~10x slower; allow 3x for noise
+    assert times[5000] < 3 * max(times[500], 1e-3), times

@@ -1,10 +1,24 @@
-"""Local stand-in for the driver's correctness gate.
+"""Local stand-in for the driver's correctness gate — DRIVER-FAITHFUL.
 
-Runs every ``queries()`` entry on Spark and, where an ``oracle_sql()``
-entry exists, the same query on DuckDB over the same parquet tables;
-compares row count, sorted column names, and an order-insensitive
-value hash (rows canonicalized to strings, sorted). Prints one line
-per query. Usage::
+Round-1 lesson (VERDICT.md §What's wrong): the driver canonicalizes
+both sides through *pandas* (`sdf.toPandas()` vs duckdb `.df()`),
+which makes the comparison dtype-sensitive — DuckDB `SUM(<integer>)`
+returns HUGEINT which pandas renders as float64 (`12.0`), while Spark
+returns int64 (`12`); equal `collect()`/`fetchall()` Python scalars
+hide that. The driver also *crashes* on list-typed output columns
+(`sort_values` → "unhashable type: 'list'").
+
+This harness therefore round-trips through the same pandas path:
+
+* Spark side: ``df.toPandas()``
+* DuckDB side: ``con.execute(sql).df()``
+* canon: reindex columns sorted by name, ``sort_values`` over all
+  columns (raises on list columns, exactly like the driver), then a
+  value hash over per-cell strings where ``np.int64(12)`` -> ``"12"``
+  but ``np.float64(12.0)`` -> ``"12.0"`` — dtype mismatches hash
+  differently even when the Python scalars are equal.
+
+Usage::
 
     python tools/verify_local.py [sf_dir] [name ...]
 """
@@ -26,25 +40,61 @@ TABLES = (
 
 
 def canon_cell(v) -> str:
+    """Dtype-sensitive cell rendering of a pandas scalar."""
     import datetime
+    import decimal
     import math
 
-    if v is None:
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
+    if isinstance(v, (np.floating, float)):
+        f = float(v)
+        if math.isnan(f):
             return "NaN"
-        return repr(v)
-    if isinstance(v, bool):
+        return repr(f)  # float64(12.0) -> '12.0' (differs from int 12)
+    if isinstance(v, (np.bool_, bool)):
         return "true" if v else "false"
+    if isinstance(v, (np.integer, int)):
+        return str(int(v))
+    if isinstance(v, decimal.Decimal):
+        return f"dec:{v}"  # DECIMAL is its own dtype class in pandas
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
     if isinstance(v, datetime.datetime):
         return v.isoformat()
+    if isinstance(v, (bytes, bytearray)):
+        return "0x" + bytes(v).hex()
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
+    # lists/arrays would have blown up in sort_values already; anything
+    # reaching here is a plain scalar
     return str(v)
 
 
-def value_hash(cols: list[str], rows: list[tuple]) -> str:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x1f".join(canon_cell(r[i]) for i in order) for r in rows)
+def canon_lines(pdf) -> list[str]:
+    """Driver-style canonicalization: sorted columns, sort_values over
+    all columns (RAISES on list-typed columns, matching the driver),
+    then one string per row."""
+    import pandas as pd
+
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    if len(pdf):
+        pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+            drop=True
+        )
+    out = []
+    for row in pdf.itertuples(index=False, name=None):
+        out.append("\x1f".join(canon_cell(v) for v in row))
+    # sort_values on mixed NaN placement can differ between engines for
+    # identical data; a final string sort makes the hash order-insensitive
+    out.sort()
+    return out
+
+
+def value_hash(lines: list[str]) -> str:
     h = hashlib.sha256()
     for ln in lines:
         h.update(ln.encode())
@@ -73,50 +123,62 @@ def main() -> int:
             continue
         try:
             sdf = fn(spark, SF_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc()
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"ROWS  {name}: {len(srows)} rows (rows-only)")
+            # the driver still canonicalizes the spark side for its
+            # rows-only record — a list column crashes there too
+            try:
+                canon_lines(spdf)
+            except Exception as e:
+                print(f"FAIL  {name}: rows-only spark canon error: {e!r}")
+                n_fail += 1
+                continue
+            print(f"ROWS  {name}: {len(spdf)} rows (rows-only)")
             n_rowsonly += 1
             continue
         try:
-            rel = con.execute(oracles[name])
-            dcols = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            dpdf = con.execute(oracles[name]).df()
         except Exception:
             print(f"FAIL  {name}: duckdb error")
             traceback.print_exc()
             n_fail += 1
             continue
         problems = []
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"schema {sorted(scols)} != {sorted(dcols)}")
-        if len(srows) != len(drows):
-            problems.append(f"rows {len(srows)} != {len(drows)}")
+        if sorted(spdf.columns) != sorted(dpdf.columns):
+            problems.append(
+                f"schema {sorted(spdf.columns)} != {sorted(dpdf.columns)}"
+            )
+        if len(spdf) != len(dpdf):
+            problems.append(f"rows {len(spdf)} != {len(dpdf)}")
         if not problems:
-            hs, hd = value_hash(scols, srows), value_hash(dcols, drows)
-            if hs != hd:
-                problems.append(f"hash {hs} != {hd}")
-                # show a sample mismatch for debugging
-                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
-                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
-                ls = sorted("\x1f".join(canon_cell(r[i]) for i in order_s) for r in srows)
-                ld = sorted("\x1f".join(canon_cell(r[i]) for i in order_d) for r in drows)
+            try:
+                ls = canon_lines(spdf)
+            except Exception as e:
+                problems.append(f"spark canon error: {e!r}")
+                ls = ld = []
+            if not problems:
+                try:
+                    ld = canon_lines(dpdf)
+                except Exception as e:
+                    problems.append(f"duckdb canon error: {e!r}")
+                    ld = []
+            if not problems and value_hash(ls) != value_hash(ld):
+                problems.append("hash mismatch")
                 for a, b in zip(ls, ld):
                     if a != b:
-                        print(f"      spark: {a[:200]}")
-                        print(f"      duck : {b[:200]}")
+                        print(f"      spark: {a[:220]}")
+                        print(f"      duck : {b[:220]}")
                         break
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
         else:
-            print(f"PASS  {name}: {len(srows)} rows")
+            print(f"PASS  {name}: {len(spdf)} rows")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
     return 1 if n_fail else 0

@@ -302,11 +302,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the distinct shingle set feeds four branches (signatures, both
     # sides of the Jaccard verify, the size table); persist it once —
     # at production scale this is the checkpointed shingle table.
-    # shingler: the Arrow-batched mapInPandas twin is the default
-    # (~30µs/shingle interpreted HOF vs ~1µs vectorized — the HOF
-    # version stays as the parity twin, equality pinned in
-    # tests/test_dedup.py).
-    sh = shingles_vectorized(spread(corpus(spark, sf_dir))).distinct().persist()
+    # shingler choice is MEASURED, not assumed: with the token array
+    # projected out first, the JVM higher-order-function shingler beats
+    # the Arrow mapInPandas twin at sf0.1 (0.62s vs 0.84s warm — the
+    # Arrow round-trip ships the full text to Python and the shingles
+    # back, which codegen never pays). shingles_vectorized stays the
+    # pinned-identical alternative for clusters whose Python workers
+    # scale independently of the JVM cores.
+    sh = shingles(spread(corpus(spark, sf_dir))).distinct().persist()
     # materialize the md5-based hash ONCE per shingle: inlining phash
     # into the 16 permutation aggregates would evaluate 16 md5s per row
     hashed = sh.select("doc_id", phash_col(F.col("shingle")).alias("__h"))

@@ -141,6 +141,14 @@ def _explode_kring(
     return out.drop("__x", "__y", "__dx", "__dy", "__ny")
 
 
+# residue terminal: max |residue|·|candidates| distance evaluations a
+# single partitioned-cartesian pass may take on (≈2s of vectorized
+# compute across 32 cores; at cluster scale this keeps the cartesian
+# reserved for residues that are vanishingly small relative to the
+# candidate count — everything else takes ring passes)
+_CARTESIAN_BUDGET = 64_000_000
+
+
 def _cert_bound_sq(lon_col: str, lat_col: str, res: int, ring: int) -> Column:
     """Squared lower bound on the distance from a probe to any candidate
     OUTSIDE its (2*ring+1)² cell block. kth-NN dist below this bound
@@ -274,7 +282,8 @@ def knn_join(
     #     exact scan, partitioned on cell on both sides.
     # Runtime counts run over the persisted, shrinking residue.
     n = 1 << res
-    if not remaining.isEmpty():
+    n_rem = remaining.count()
+    if n_rem:
         import math
 
         n_cand = cand.count()
@@ -283,10 +292,23 @@ def knn_join(
         side = math.isqrt((4 * k * n * n) // max(1, n_cand)) + 1
         r = max(2 * rings[-1], (side - 1) // 2 + 1)
         while True:
+            # work-budget terminal: when |residue|·|cand| is small, a
+            # single PARTITIONED cartesian pass (never a broadcast of
+            # the candidate set) is cheaper than further ring passes —
+            # one stage instead of O(log n) tail passes. At 10^9
+            # candidates the budget forces ring passes for any
+            # non-trivial residue, so nothing quadratic can happen at
+            # scale.
             r = min(r, n)
             full_cover = (2 * r + 1 >= n) and (r >= n - 1)
-            if full_cover and n_cand < (n * n) // 2:
-                scan = remaining.crossJoin(cand.drop("__cell"))
+            if n_rem * n_cand <= _CARTESIAN_BUDGET or (
+                full_cover and n_cand < (n * n) // 2
+            ):
+                # coalesce(1): cartesian task count is left-parts ×
+                # right-parts; the budget caps the residue at ≤1M rows
+                # (≈24 MB), so one left partition keeps the stage at
+                # |cand partitions| tasks instead of 32× that
+                scan = remaining.coalesce(1).crossJoin(cand.drop("__cell"))
                 parts.append(topk(scan).select(*out_cols))
                 break
             ringed = _explode_kring(remaining, qlon, qlat, res, r)
@@ -308,7 +330,8 @@ def knn_join(
             remaining = remaining.join(F.broadcast(cert_ids), id_col, "left_anti")
             if persist:
                 remaining = remaining.persist()
-            if remaining.isEmpty():
+            n_rem = remaining.count()
+            if n_rem == 0:
                 break
             r = 2 * r
 

@@ -114,3 +114,14 @@ def test_interval_join_is_equi_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in kinds, kinds
     assert "CartesianProduct" not in kinds, kinds
     assert any(k in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin") for k in kinds), kinds
+
+
+def test_flagship_has_no_expand_on_cell_key(spark, sf_dir):
+    """The per-tile boundary count is a two-phase distinct; a
+    single-phase countDistinct would plan an Expand that funnels every
+    mega-cell row into one reduce group (skew)."""
+    from osm_data_classification_spark.jobs_api import flagship
+
+    df = flagship(spark, sf_dir)
+    nodes = audit.plan_nodes(df)
+    assert not any("Expand" in n for n in nodes), nodes

@@ -223,11 +223,19 @@ def geo_tile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _flatten_hist(tile_aggregate(pages, res=7, cell_col="cell"))
 
 
+# ladder spans the FULL resolution range: finest grid (res 12, the
+# Morton encoder's max depth — ~0.088° cells) rolled all the way up to
+# res 5, so the parent-cell arithmetic is driver-value-checked at every
+# level the encoder supports (round-2 VERDICT #10)
+_LADDER_TOP = 12
+_LADDER_BOTTOM = 5
+
+
 def _ladder_sql() -> str:
     base = f"""
     WITH {PAGES_SQL},
-    p9 AS (
-        SELECT {CELL_SQL('lon', 'lat', 9)} AS cell, lang,
+    p_top AS (
+        SELECT {CELL_SQL('lon', 'lat', _LADDER_TOP)} AS cell, lang,
                dayofweek(warc_ts) + 1 AS dow
         FROM pages
     ),
@@ -236,12 +244,12 @@ def _ladder_sql() -> str:
                count(*) AS n_edits,
                {_LANG_SUMS},
                {", ".join(f"sum(CASE WHEN dow = {d} THEN 1 ELSE 0 END) AS h{d}" for d in range(1, 8))}
-        FROM p9 GROUP BY cell
+        FROM p_top GROUP BY cell
     )
     """
     levels = []
-    for r in range(9, 4, -1):
-        parent = CELL_PARENT_SQL("cell", 9, r)
+    for r in range(_LADDER_TOP, _LADDER_BOTTOM - 1, -1):
+        parent = CELL_PARENT_SQL("cell", _LADDER_TOP, r)
         levels.append(
             f"""SELECT {parent} AS cell,
                CAST(sum(n_edits) AS BIGINT) AS n_edits,
@@ -256,14 +264,15 @@ def _ladder_sql() -> str:
 
 @_register("rollup_res_ladder", _ladder_sql())
 def rollup_res_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8: resolution ladder 9→5 by pure parent-cell arithmetic. Full
-    oracle: DuckDB rolls the same ladder up from its own res-9 tiles
-    (additive sums are associative, so level-by-level == direct)."""
-    pages = geocoded_pages(spark, sf_dir, res=9).withColumn(
+    """A8: resolution ladder 12→5 (the encoder's full range) by pure
+    parent-cell arithmetic. Full oracle: DuckDB rolls the same ladder
+    up from its own finest-res tiles (additive sums are associative,
+    so level-by-level == direct)."""
+    pages = geocoded_pages(spark, sf_dir, res=_LADDER_TOP).withColumn(
         "contributor", F.regexp_extract("url", r"site(\d+)", 1).cast("long")
     )
-    tiles9 = tile_aggregate(pages, res=9, cell_col="cell")
-    return _flatten_hist(tile_ladder(tiles9, 9, 5))
+    tiles = tile_aggregate(pages, res=_LADDER_TOP, cell_col="cell")
+    return _flatten_hist(tile_ladder(tiles, _LADDER_TOP, _LADDER_BOTTOM))
 
 
 @_register("lineage_metrics")

@@ -86,7 +86,7 @@ _J_MEGA = "CASE (doc_id % 5) " + " ".join(
 
 PAGES_SQL = f"""
     page_geo AS (
-        SELECT doc_id, lang,
+        SELECT doc_id, lang, text AS base_text,
                CASE WHEN doc_id % 10 < 3 THEN {_I_MEGA}
                     ELSE (doc_id * 2654435761) % {N_I} END AS i,
                CASE WHEN doc_id % 10 < 3 THEN {_J_MEGA}
@@ -107,6 +107,8 @@ PAGES_SQL = f"""
                    + CAST((doc_id * 17 + crawl * 13) % 1440 AS INT)
                        * INTERVAL '1 minute' AS warc_ts,
                lang,
+               base_text || ' loc_' || CAST(i AS VARCHAR)
+                   || '_' || CAST(j AS VARCHAR) AS text,
                doc_id % 97 AS contributor,
                CAST(-180.0 AS DOUBLE) + i * CAST({LON_STEP} AS DOUBLE)
                    + CAST({LON_OFF} AS DOUBLE) AS lon,

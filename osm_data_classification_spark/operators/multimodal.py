@@ -180,8 +180,40 @@ def sample_frames(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload
     return df.select(id_col, bin_col).mapInPandas(run, MM_FRAMES_SCHEMA)
 
 
-@_register("mm_frame_sample")  # rows-only
+# DuckDB 1.0 has no BLOB substring/md5, so the oracle slices the
+# VARCHAR; char offsets == byte offsets only for ASCII payloads, which
+# the driver's documents.text is at every SF (asserted by
+# tests/test_multimodal.py::test_frames_oracle_ascii_precondition)
+_FRAMES_SQL = f"""
+    WITH f AS (
+        SELECT doc_id, text AS payload,
+               greatest(1, octet_length(encode(text)) // {FRAME_BYTES})
+                   AS n_frames
+        FROM documents
+    ),
+    t AS (
+        SELECT *, least({MAX_FRAMES}, n_frames) AS take FROM f
+    ),
+    j AS (
+        SELECT doc_id, payload, n_frames, take,
+               unnest(generate_series(0, take - 1)) AS jj
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((jj * n_frames) // take AS INT) AS frame_idx,
+           md5(substring(payload,
+                         CAST((jj * n_frames) // take AS INT) * {FRAME_BYTES} + 1,
+                         {FRAME_BYTES})) AS frame_md5
+    FROM j
+"""
+
+
+@_register("mm_frame_sample", _FRAMES_SQL)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL oracle: the frame schedule (evenly-spaced indices) and the
+    per-frame md5 are pure byte arithmetic, so DuckDB reproduces them
+    from the same payload — the value hash pins both the sampling
+    schedule and the chunk boundaries."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )

@@ -81,13 +81,30 @@ def extract_text(pages: DataFrame) -> DataFrame:
     return pages.select("url", "warc_ts", "html").mapInPandas(run, EXTRACT_SCHEMA)
 
 
-@_register("pages_text_extract")  # rows-only: pages table not in DuckDB
+def _extract_sql() -> str:
+    from ..geo.cells_sql import PAGES_SQL
+
+    return f"""
+    WITH {PAGES_SQL}
+    SELECT url,
+           COUNT(*) AS n_crawls,
+           (COUNT(DISTINCT md5(text)) = 1) AS identical,
+           MIN(md5(text)) AS text_md5
+    FROM pages GROUP BY url
+    """
+
+
+@_register("pages_text_extract", _extract_sql())
 def pages_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4 + the per-row invariant: extract text from every crawl of
     every url and assert byte-identity per url (BASELINE.json:6). The
     output is one row per url with its crawl count and whether all
     crawls extracted identical bytes — the pipeline gate is
-    `min(identical) = true`, tested in tests/test_text_extract.py."""
+    `min(identical) = true`, tested in tests/test_text_extract.py.
+    FULL oracle: the Spark side round-trips text→html→mapInPandas
+    extraction→md5; DuckDB re-synthesizes the page text directly
+    (geo/cells_sql.py PAGES_SQL) and hashes it — equal value hashes
+    prove the extraction byte-exact, not just consistent."""
     pages = synth_pages(spark, sf_dir)
     ext = extract_text(pages)
     return (

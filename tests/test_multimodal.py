@@ -75,3 +75,19 @@ def test_partitioning_invariance(spark, sf_dir):
     one = mm.extract_features(docs.coalesce(1)).orderBy("doc_id").collect()
     many = mm.extract_features(docs.repartition(16)).orderBy("doc_id").collect()
     assert one == many
+
+
+def test_frames_oracle_ascii_precondition(spark, sf_dir):
+    """The mm_frame_sample DuckDB oracle slices VARCHAR (DuckDB 1.0 has
+    no BLOB substring), which equals the Spark kernel's byte slicing
+    only when the payload is pure ASCII — assert that precondition on
+    the actual input."""
+    from pyspark.sql import functions as F
+
+    from osm_data_classification_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bad = docs.filter(
+        F.octet_length("text") != F.length("text")
+    ).count()
+    assert bad == 0

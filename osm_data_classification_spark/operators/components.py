@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import dedup_minhash_lsh, corpus
+from .dedup import CORPUS_SQL, _minhash_sql, corpus, dedup_minhash_lsh
 from .relational import QuerySpec
 
 CATALOG: dict[str, QuerySpec] = {}
@@ -103,11 +103,45 @@ def connected_components(
     return labels
 
 
-@_register("dedup_clusters")  # rows-only (iterative fixpoint)
+# FULL oracle despite the iterative Spark fixpoint: connected
+# components of the (tiny-diameter) near-dup graph are expressible as
+# a recursive-CTE transitive closure — each node's component is the
+# min label it can reach over the symmetrized LSH pair set, which is
+# exactly what label propagation converges to.
+def _clusters_sql() -> str:
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT da, db FROM ({_minhash_sql()})
+    ),
+    sym AS (
+        SELECT da AS a, db AS b FROM pairs
+        UNION
+        SELECT db, da FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    reach AS (
+        SELECT node, node AS lab FROM nodes
+        UNION
+        SELECT s.a AS node, r.lab FROM sym s JOIN reach r ON r.node = s.b
+    ),
+    comp AS (SELECT node, min(lab) AS comp FROM reach GROUP BY node),
+    alldocs AS (SELECT doc_id FROM ({CORPUS_SQL})),
+    labeled AS (
+        SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster
+        FROM alldocs d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT cluster, COUNT(*) AS size, MIN(doc_id) AS canonical
+    FROM labeled GROUP BY cluster
+    """
+
+
+@_register("dedup_clusters", _clusters_sql())
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs (MinHash+LSH) → duplicate clusters → per-cluster
     canonical (min doc_id) and size. Docs with no duplicate partner
-    form singleton clusters."""
+    form singleton clusters. FULL oracle: recursive-CTE transitive
+    closure over the same LSH pairs (label propagation's fixpoint is
+    min-reachable-id, which the closure computes directly)."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("da", "db")
     comp = connected_components(pairs, "da", "db")
     all_docs = corpus(spark, sf_dir).select("doc_id")

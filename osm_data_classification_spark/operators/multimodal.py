@@ -128,7 +128,37 @@ def extract_features(df: DataFrame, id_col: str = "doc_id", bin_col: str = "payl
     return df.select(id_col, bin_col).mapInPandas(run, MM_FEATURES_SCHEMA)
 
 
-@_register("mm_decode_features")  # rows-only: decode is not SQL-expressible
+# the deterministic fake decode is a pure function of sha256(payload),
+# so DuckDB mirrors it exactly: hex-slice the digest for dimensions and
+# features (feat = digest bytes [4+4i, 8+4i) as uint32 / 2^32 — exact
+# IEEE scaling, no rounding). A REAL codec dropped into decode_stub
+# would move this entry back to rows-only.
+_DECODE_SQL = f"""
+    WITH d AS (
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS hx
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n_bytes, hx,
+               CAST('0x' || substr(hx, 1, 2) AS BIGINT) % 240 + 16 AS width,
+               CAST('0x' || substr(hx, 3, 2) AS BIGINT) % 240 + 16 AS height,
+               unnest(generate_series(0, {N_FEATURES - 1})) AS feat_idx
+        FROM d
+    )
+    SELECT doc_id, n_bytes, width, height, feat_idx,
+           -- feature 7 reads digest bytes [32,36) — past the 32-byte
+           -- sha256 — which Python's int.from_bytes(b'') renders as 0;
+           -- mirror that edge exactly
+           CAST(CASE WHEN 16 + feat_idx * 8 <= 64
+                     THEN CAST('0x' || substr(hx, 9 + feat_idx * 8, 8) AS BIGINT)
+                     ELSE 0 END AS DOUBLE)
+               / CAST(4294967296 AS DOUBLE) AS feat_val
+    FROM f
+"""
+
+
+@_register("mm_decode_features", _DECODE_SQL)
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")

@@ -140,3 +140,73 @@ def stream_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming tile ladder (foreachBatch incremental-rollup pattern)
+# ---------------------------------------------------------------------------
+
+
+def tile_partials(pages: DataFrame, res: int = 9) -> DataFrame:
+    """Finest-res PARTIAL tiles of a pages frame — the mergeable unit
+    of the streaming rollup. Every measure (counts, per-lang counts,
+    day-of-week histogram) is associative+commutative, so per-batch
+    partials merged later equal a single pass over all data; that is
+    the whole contract of incremental tiling. Engine-agnostic: works
+    on a batch frame or inside foreachBatch."""
+    from ..geo.cells import cell_encode_col
+    from ..operators.geo_ops import LANGS
+    from ..sources.pages import geocode_cols
+
+    lon, lat = geocode_cols(F.col("text"))
+    enc = pages.select(
+        cell_encode_col(lon, lat, res).alias("cell"),
+        F.col("lang").alias("__lang"),
+        F.dayofweek("warc_ts").alias("__dow"),
+    )
+    return enc.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_edits"),
+        *[
+            F.sum(F.when(F.col("__lang") == lg, 1).otherwise(0)).alias(f"n_{lg}")
+            for lg in LANGS
+        ],
+        F.array(
+            *[
+                F.sum(F.when(F.col("__dow") == d, 1).otherwise(0))
+                for d in range(1, 8)
+            ]
+        ).alias("activity_hist"),
+    )
+
+
+def merge_tile_partials(partials: DataFrame) -> DataFrame:
+    """Merge per-batch partial tiles back to one row per cell (sum the
+    counts, element-wise-sum the histogram) — the compaction half of
+    the foreachBatch rollup. On a real cluster this is the MERGE INTO
+    a tile table; here it is the same additive aggregation."""
+    add_cols = [
+        c for c in partials.columns if c.startswith("n_")
+    ]
+    return partials.groupBy("cell").agg(
+        *[F.sum(c).alias(c) for c in add_cols],
+        F.array(
+            *[F.sum(F.element_at("activity_hist", i + 1)) for i in range(7)]
+        ).alias("activity_hist"),
+    )
+
+
+def partials_batch_writer(partials_dir: str, res: int = 9):
+    """foreachBatch sink: reduce each pages micro-batch to finest-res
+    partial tiles and append them to the partials store. The write is
+    idempotent per epoch on a real sink via (batch_id) dedup — recorded
+    here as a column so the compaction can drop replayed epochs."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            tile_partials(batch_df, res=res)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(partials_dir)
+        )
+
+    return write

@@ -228,3 +228,61 @@ def test_streaming_tile_aggregation_equals_batch(spark, sf_dir):
         assert _rows(got, cols) == _rows(batch, cols)
     finally:
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_streaming_tile_ladder_equals_batch(spark, sf_dir):
+    """Streaming resolution-ladder rollup via foreachBatch: pages
+    stream in over 4 micro-batches, each reduced to res-9 PARTIAL
+    tiles appended to a store; compaction (merge) + ladder over the
+    partials must equal the single-pass batch ladder — the
+    associativity contract that makes incremental tiling correct."""
+    from osm_data_classification_spark.operators.geo_ops import tile_ladder
+    from osm_data_classification_spark.sources.pages import synth_pages
+    from osm_data_classification_spark.streaming.pipeline import (
+        merge_tile_partials,
+        partials_batch_writer,
+        tile_partials,
+    )
+
+    src = tempfile.mkdtemp(prefix="stream_ladder_src_")
+    partials_dir = tempfile.mkdtemp(prefix="stream_ladder_part_") + "/p"
+    try:
+        pages = synth_pages(spark, sf_dir).drop("html")
+        pages.repartition(4).write.mode("overwrite").parquet(src)
+
+        stream = (
+            spark.readStream.schema(
+                "url string, warc_ts timestamp, text string, lang string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(partials_batch_writer(partials_dir))
+            .trigger(availableNow=True)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ladder_"))
+            .start()
+        )
+        q.awaitTermination(120)
+
+        partials = spark.read.parquet(partials_dir)
+        # really incremental: more partial rows than distinct cells
+        assert partials.count() > partials.select("cell").distinct().count()
+        streamed = tile_ladder(
+            merge_tile_partials(partials.drop("batch_id")), 9, 5
+        ).toPandas()
+        batch = tile_ladder(
+            tile_partials(spark.read.parquet(src), res=9), 9, 5
+        ).toPandas()
+
+        def canon(df):
+            df = df.copy()
+            df["activity_hist"] = df["activity_hist"].map(
+                lambda a: "|".join(str(int(v)) for v in a)
+            )
+            return sorted(map(tuple, df[sorted(df.columns)].to_numpy()))
+
+        assert canon(streamed) == canon(batch)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(os.path.dirname(partials_dir), ignore_errors=True)

@@ -25,10 +25,18 @@ SF0001 = "/root/testdata/sf0.001"
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship spatial-join + tiling query on sf0.001 (SURVEY.md §3.2):
     pages → geocode → H3-style cell encode → point-in-polygon join vs
-    broadcast boundary index → per-tile feature vectors."""
+    broadcast boundary index → per-tile feature vectors. The
+    day-of-week histogram is flattened to a '|'-joined string at this
+    driver boundary — pandas canonicalization of array columns crashes
+    (round-1 lesson)."""
+    from pyspark.sql import functions as F
+
     from osm_data_classification_spark.jobs_api import flagship
 
-    return flagship(spark, SF0001)
+    df = flagship(spark, SF0001)
+    return df.withColumn(
+        "activity_hist", F.array_join(F.col("activity_hist").cast("array<string>"), "|")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

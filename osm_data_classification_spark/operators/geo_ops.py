@@ -43,6 +43,11 @@ from ..geo.pip import PackedPolygons
 # J5: point-in-polygon join
 # ---------------------------------------------------------------------------
 
+# max (cell, boundary_id) cover pairs to broadcast (~16 bytes/pair ->
+# ~64 MB, inside the default autoBroadcastJoinThreshold ballpark);
+# larger covers take a shuffle equi-join on cell instead
+_COVER_BROADCAST_MAX = 4_000_000
+
 
 def pip_join(
     points: DataFrame,
@@ -55,8 +60,14 @@ def pip_join(
     """points ⨝ polygons with `point inside polygon` semantics.
 
     Phase 1 (coarse, JVM): encode each point's cell at ``res`` and
-    equi-join against the broadcast (cell, boundary_id) bbox-cover
-    table — the STRtree-candidate analog (BASELINE.json:6).
+    equi-join against the (cell, boundary_id) bbox-cover table — the
+    STRtree-candidate analog (BASELINE.json:6). The cover side is
+    BROADCAST while it fits (points never shuffle — the plan that wins
+    up to ~10^4 boundaries); past ``_COVER_BROADCAST_MAX`` pairs it
+    becomes a shuffle equi-join on cell, because a multi-hundred-MB
+    broadcast to every executor is the same OOM class as the kNN
+    fallback round 1 shipped. The cover row count is known driver-side
+    for free, so the switch costs nothing.
     Phase 2 (exact): Arrow-batched pandas UDF ray-cast against the
     broadcast packed rings. ``refine=False`` exposes phase 1 alone
     (used by tests to check the cover is a superset).
@@ -66,9 +77,11 @@ def pip_join(
     cover = spark.createDataFrame(
         pd.DataFrame({"__cell": cover_cells, "boundary_id": cover_bids})
     )
+    if len(cover_cells) <= _COVER_BROADCAST_MAX:
+        cover = F.broadcast(cover)
     cand = points.withColumn(
         "__cell", cell_encode_col(F.col(lon_col), F.col(lat_col), res)
-    ).join(F.broadcast(cover), "__cell")
+    ).join(cover, "__cell")
     if not refine:
         return cand.drop("__cell")
 

@@ -125,3 +125,36 @@ def test_flagship_has_no_expand_on_cell_key(spark, sf_dir):
     df = flagship(spark, sf_dir)
     nodes = audit.plan_nodes(df)
     assert not any("Expand" in n for n in nodes), nodes
+
+
+def test_pip_cover_switches_to_shuffle_join(spark, sf_dir, monkeypatch):
+    """Past _COVER_BROADCAST_MAX pairs the cover side must NOT be
+    broadcast (same OOM class as the removed kNN fallback) — the plan
+    degrades to a shuffle equi-join on cell with identical results."""
+    from osm_data_classification_spark.operators import geo_ops
+
+    pages = geocoded_pages(spark, sf_dir, res=7)
+    pk = packed_boundaries(50)
+    want = sorted(
+        (r["url"], r["boundary_id"])
+        for r in pip_join(pages, pk, res=7).select("url", "boundary_id").collect()
+    )
+    monkeypatch.setattr(geo_ops, "_COVER_BROADCAST_MAX", 0)
+    # with the hint gone, Catalyst still auto-broadcasts a toy-sized
+    # cover (that IS the adaptive behavior we want); disable the
+    # threshold to see the big-cover physical plan
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        coarse = pip_join(pages, pk, res=7, refine=False)
+        kinds = audit.join_kinds(coarse)
+        assert "BroadcastHashJoin" not in kinds, kinds
+        got = sorted(
+            (r["url"], r["boundary_id"])
+            for r in pip_join(pages, pk, res=7)
+            .select("url", "boundary_id")
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert got == want

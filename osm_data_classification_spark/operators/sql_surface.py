@@ -83,3 +83,46 @@ WHERE c_acctbal > (
 """
 
 _register_sql("sql_correlated_subquery", _SUBQ_BODY)
+
+# Q5-shaped local-supplier volume: the deepest join chain in the
+# catalog (region→nation→customer→orders→lineitem→supplier with the
+# customer-and-supplier-same-nation constraint) — exercises Catalyst
+# join reordering + broadcast of every dim in one query
+_Q5_BODY = """
+SELECT n.n_name,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM region r
+JOIN nation n   ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+               AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+_register_sql("sql_tpch_q5", _Q5_BODY)
+
+# Q18-shaped large-order customers: aggregate -> IN-subquery gate ->
+# re-join and re-aggregate (the classic "having sum over threshold"
+# double-aggregation shape)
+_Q18_BODY = """
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       CAST(SUM(CAST(CAST(l.l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,6)))
+            AS DOUBLE) AS total_qty
+FROM customer c
+JOIN orders o  ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(38,6))) > 150
+)
+GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
+"""
+
+_register_sql("sql_tpch_q18", _Q18_BODY)

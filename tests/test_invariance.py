@@ -165,3 +165,20 @@ def test_entry_schema_stable(spark):
         "activity_hist", "n_boundaries",
     ]
     assert df.count() > 0
+
+
+def test_dedup_pairs_partitioning_invariant(spark, sf_dir):
+    """MinHash LSH output is a pure function of the corpus — identical
+    pair set under different shuffle-partition settings (the band
+    bucket join and candidate verify must not leak partitioning)."""
+    from osm_data_classification_spark.operators.dedup import dedup_minhash_lsh
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        a = sorted(map(tuple, dedup_minhash_lsh(spark, sf_dir).collect()))
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
+        b = sorted(map(tuple, dedup_minhash_lsh(spark, sf_dir).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b and len(a) > 0

@@ -156,3 +156,40 @@ def test_pip_refine_cost_independent_of_total_boundaries():
     # identical pair count, same target boundaries: a linear-in-total
     # scan would be ~10x slower; allow 3x for noise
     assert times[5000] < 3 * max(times[500], 1e-3), times
+
+
+EMPTY_INPUT_QUERIES = [
+    # one per operator family — empty partitions happen at 10^3
+    # executors; every operator must plan and run on 0 rows
+    "scan_pages", "filter_lang_en", "distinct_users",
+    "join_orders_customer", "star_join_3way", "semi_join_active_users",
+    "agg_user_features", "agg_pivot_eventtype", "rollup_lang_source",
+    "window_avg_gap", "window_topk_per_group", "topk_event_types",
+    "stream_session_agg", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_simhash", "text_quality_score", "text_lang_id",
+    "text_hash_embedding", "ann_cosine_topk", "geo_cell_encode",
+    "geo_pip_join", "geo_knn_join", "geo_tile_agg", "mm_frame_sample",
+    "pages_text_extract", "asof_join_purchase_view", "dedup_clusters",
+]
+
+
+def test_catalog_queries_survive_empty_input(spark, tmp_path_factory):
+    """Run a representative catalog slice against 0-row tables with the
+    real schemas: no operator may crash on empty input (the everyday
+    state of some partition on a real cluster)."""
+    from osm_data_classification_spark.catalog import full_catalog
+
+    src = "/root/testdata/sf0.001"
+    empty_dir = str(tmp_path_factory.mktemp("empty_sf"))
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        spark.read.parquet(f"{src}/{t}.parquet").limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{empty_dir}/{t}.parquet")
+
+    cat = full_catalog()
+    for name in EMPTY_INPUT_QUERIES:
+        df = cat[name].fn(spark, empty_dir)
+        assert df.count() == 0, f"{name} produced rows from empty input"

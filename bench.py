@@ -41,6 +41,7 @@ HEADLINE = [
     "dedup_minhash_lsh",      # MinHash+LSH near-dup (training-data op)
     "ann_cosine_topk",        # similarity search over embeddings
     "text_quality_score",     # text-analysis pipeline op
+    "sql_tpch_q5",            # deepest join chain (6-way, SQL surface)
 ]
 
 

@@ -203,8 +203,13 @@ def knn_join(
     cand_id_col: str = "cid",
     persist: bool = True,
     rings: "tuple[int, ...] | None" = None,
+    n_candidates: "int | None" = None,
 ) -> DataFrame:
     """Exact k-nearest-neighbor join (planar squared-degree metric).
+
+    ``n_candidates``: pass the candidate count if the caller already
+    knows it (most do — they counted for :func:`knn_auto_res`); saves
+    the residue path one count job.
 
     probes:     (id_col, lon, lat);  candidates: (cand_id_col, lon, lat).
     Returns (id_col, cand_id_col, dist_sq, rank), rank 1..k, ties broken
@@ -299,7 +304,7 @@ def knn_join(
     if n_rem:
         import math
 
-        n_cand = cand.count()
+        n_cand = n_candidates if n_candidates is not None else cand.count()
         # block side that yields ~4k expected candidates under uniform
         # density; skew beyond it is caught by doubling
         side = math.isqrt((4 * k * n * n) // max(1, n_cand)) + 1

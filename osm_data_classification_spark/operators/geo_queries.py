@@ -155,7 +155,8 @@ def geo_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm exact — every probe, every rank, every distance bit."""
     pages = geocoded_pages(spark, sf_dir, res=6).dropDuplicates(["url"])
     pts = pages.select(F.col("url").alias("qid"), "lon", "lat").persist()
-    res = knn_auto_res(pts.count(), k=5)
+    n = pts.count()
+    res = knn_auto_res(n, k=5)
     return knn_join(
         pts,
         pts.withColumnRenamed("qid", "cid"),
@@ -163,6 +164,7 @@ def geo_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         res=res,
         id_col="qid",
         cand_id_col="cid",
+        n_candidates=n,
     )
 
 
@@ -175,8 +177,11 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = pages.select(
         F.xxhash64("url").alias("qid"), "lon", "lat"
     ).persist()
-    res = knn_auto_res(pts.count(), k=5)
-    return knn_join(pts, pts.withColumnRenamed("qid", "cid"), k=5, res=res)
+    n = pts.count()
+    res = knn_auto_res(n, k=5)
+    return knn_join(
+        pts, pts.withColumnRenamed("qid", "cid"), k=5, res=res, n_candidates=n
+    )
 
 
 _LANGS = ("en", "es", "de", "fr", "zh")

@@ -48,7 +48,9 @@ def test_knn_join_scales_10x_probes(spark, sf_dir):
     assert n > 5_000
     res = knn_auto_res(n, k=5)
     t0 = time.perf_counter()
-    out = knn_join(pts, pts.withColumnRenamed("qid", "cid"), k=5, res=res)
+    out = knn_join(
+        pts, pts.withColumnRenamed("qid", "cid"), k=5, res=res, n_candidates=n
+    )
     total = out.count()
     elapsed = time.perf_counter() - t0
     assert total == 5 * n

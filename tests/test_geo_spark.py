@@ -202,3 +202,25 @@ def test_parallelism_invariance(spark, sf_dir):
     df2 = flagship(spark, sf_dir).repartition(3)
     h2 = table_checksum(df2.drop("activity_hist"))
     assert h1 == h2
+
+
+def test_explode_kring_no_duplicate_cells_any_ring(spark):
+    """The exploded k-ring must never yield the same cell twice for one
+    probe — the wrap bug class: when 2*ring+1 > 2^res, un-deduped x
+    offsets pmod onto the same cell (round-2 ADVICE). Checked across
+    rings smaller than, equal to, and far wider than the grid."""
+    from osm_data_classification_spark.operators.geo_ops import _explode_kring
+
+    pts = spark.createDataFrame(
+        [(i, -170.0 + 37.0 * i, -80.0 + 16.0 * i) for i in range(10)],
+        "pid long, lon double, lat double",
+    )
+    for res, ring in [(1, 1), (2, 1), (2, 3), (3, 2), (3, 8), (5, 1), (5, 40)]:
+        ex = _explode_kring(pts, "lon", "lat", res, ring)
+        total = ex.count()
+        distinct = ex.select("pid", "__cell").distinct().count()
+        assert total == distinct, f"res={res} ring={ring}: dup cells"
+        n = 1 << res
+        width = min(2 * ring + 1, n)
+        per_probe = ex.groupBy("pid").count().select(F.max("count")).first()[0]
+        assert per_probe <= width * n, f"res={res} ring={ring}: over-explode"

@@ -59,19 +59,25 @@ PRIORITY: tuple[str, ...] = (
     "null_handling_fill",
     "mm_binary_meta",
     "grouped_quantiles_apply",
-    "grouped_zscore_apply",
     "sql_tpch_q1",
     "sql_tpch_q3",
+    # -- round-2 oracle upgrades: first driver signal for S4 (byte-
+    # exact extraction), A10/A11 (fixed-parameter projection and
+    # assignment), and duplicate-cluster closure --
+    "pages_text_extract",
+    "pca_project_fixed",
+    "kmeans_assign_fixed",
+    "dedup_clusters",
     # -- representative round-1-green coverage of SURVEY §2 --
+    # (A1/A5/A6 are driver-covered via the ref chain — element
+    # metadata, user features' activity columns, editor top-K — so
+    # their events-table twins sit past the window on pytest gates)
     "scan_pages",
     "filter_lang_en",
     "distinct_users",
     "join_orders_customer",
     "star_join_3way",
     "semi_join_active_users",
-    "agg_element_meta",
-    "agg_activity_histogram",
-    "topk_event_types",
     "normalize_minmax",
     "window_version_chain",
     "window_running_sum",

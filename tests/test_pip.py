@@ -99,3 +99,22 @@ def test_cell_cover_contains_inside_points():
     pts_lat = np.linspace(40.01, 41.99, 30)
     enc = encode_np(pts_lon, pts_lat, 8)
     assert np.all(np.isin(enc, cover_cells))
+
+
+def test_cell_cover_vectorized_matches_per_bbox_oracle():
+    """The batched cell_cover must equal the per-boundary
+    cover_bbox_np loop exactly — pairs, no duplicates — including the
+    antimeridian (unwrapped-lon) boundary."""
+    from osm_data_classification_spark.geo.cells import cover_bbox_np
+    from osm_data_classification_spark.sources.boundaries import packed_boundaries
+
+    pk = packed_boundaries(200)
+    for res in (5, 8):
+        cells, bids = pk.cell_cover(res)
+        exp = set()
+        for b in range(pk.n_boundaries):
+            for c in cover_bbox_np(*pk.bbox[b], res):
+                exp.add((int(c), int(pk.boundary_id[b])))
+        got = set(zip(cells.tolist(), bids.tolist()))
+        assert got == exp
+        assert len(cells) == len(got)  # no duplicate pairs emitted

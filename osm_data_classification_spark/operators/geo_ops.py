@@ -278,7 +278,10 @@ def knn_join(
         ok = (F.col("__n") >= k) & (F.col("__kth") < F.col("__cert_sq"))
         parts.append(stage.filter(ok).select(*out_cols))
         cert_ids = stage.filter(ok).select(id_col).distinct()
-        remaining = remaining.join(F.broadcast(cert_ids), id_col, "left_anti")
+        # no broadcast hint: cert_ids approaches |probes| when most
+        # certify — at 10^9 probes that hint would be a multi-GB
+        # broadcast; AQE broadcasts it only while it is small
+        remaining = remaining.join(cert_ids, id_col, "left_anti")
         if persist:
             remaining = remaining.persist()
 
@@ -345,7 +348,10 @@ def knn_join(
             ok = (F.col("__n") >= k) & (F.col("__kth") < F.col("__cert_sq"))
             parts.append(stage.filter(ok).select(*out_cols))
             cert_ids = stage.filter(ok).select(id_col).distinct()
-            remaining = remaining.join(F.broadcast(cert_ids), id_col, "left_anti")
+            # no broadcast hint: cert_ids approaches |probes| when most
+            # certify — at 10^9 probes that hint would be a multi-GB
+            # broadcast; AQE broadcasts it only while it is small
+            remaining = remaining.join(cert_ids, id_col, "left_anti")
             if persist:
                 remaining = remaining.persist()
             n_rem = remaining.count()

@@ -205,11 +205,13 @@ def top_editors(editors: DataFrame, k: int = 5) -> DataFrame:
 
 def user_editor_counts(hist: DataFrame, editors: DataFrame, k: int = 5) -> DataFrame:
     """Per-user usage counts of the top-K editors (+ 'other'), merged
-    the reference way: left join then zero-fill (J1/P4). The top-K
-    vocabulary is broadcast — it is K rows."""
+    the reference way: left join then zero-fill (J1/P4). The K-row
+    vocabulary is a collected literal; the per-changeset editor table
+    scales with |changesets|, so its join carries NO broadcast hint —
+    AQE broadcasts it while small and shuffles at 10^8 changesets."""
     vocab = [r["editor"] for r in top_editors(editors, k).collect()]
     per_chgset = hist.select("uid", "chgset").distinct().join(
-        F.broadcast(editors), "chgset", "left"
+        editors, "chgset", "left"
     )
     bucket = F.when(F.col("editor").isin(vocab), F.col("editor")).otherwise(
         F.lit("other")

@@ -85,7 +85,9 @@ def _pair_dots(pairs: DataFrame, norms: DataFrame) -> DataFrame:
     )
     nq = norms.select(F.col("vec_id").alias("qid"), F.col("nsq").alias("__nq"))
     nc = norms.select(F.col("vec_id").alias("cid"), F.col("nsq").alias("__nc"))
-    dots = dots.join(F.broadcast(nq), "qid").join(F.broadcast(nc), "cid")
+    # no broadcast hints: nc is the FULL per-vector norm table (10^9
+    # rows at scale) — AQE broadcasts it only while it is small
+    dots = dots.join(nq, "qid").join(nc, "cid")
     cos = F.floor(
         F.lit(1000000.0) * F.col("dot") / (F.sqrt("__nq") * F.sqrt("__nc"))
     )

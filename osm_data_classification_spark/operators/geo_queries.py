@@ -203,9 +203,7 @@ _HIST = (
 )
 
 
-@_register(
-    "geo_tile_agg",
-    f"""
+_TILE7_SQL = f"""
     WITH {PAGES_SQL},
     pc AS (SELECT *, {CELL_SQL('lon', 'lat', 7)} AS cell FROM pages)
     SELECT cell,
@@ -215,8 +213,10 @@ _HIST = (
            {_LANG_SUMS},
            {_HIST}
     FROM pc GROUP BY cell
-    """,
-)
+"""
+
+
+@_register("geo_tile_agg", _TILE7_SQL)
 def geo_tile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: per-tile contributor/edit-count feature vectors at res 7.
     Full oracle: DuckDB aggregates the independently re-synthesized,
@@ -278,6 +278,50 @@ def rollup_res_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiles = tile_aggregate(pages, res=_LADDER_TOP, cell_col="cell")
     return _flatten_hist(tile_ladder(tiles, _LADDER_TOP, _LADDER_BOTTOM))
+
+
+_TILE_COLS = (
+    ["cell", "n_edits", "n_contributors", "n_urls"]
+    + [f"n_{lg}" for lg in _LANGS]
+    + ["activity_hist"]
+)
+
+
+def _lineage_checksum_sql() -> str:
+    from ..operators.portable import PHASH
+
+    row = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in _TILE_COLS)
+    return f"""
+    WITH tiles AS ({_TILE7_SQL})
+    SELECT COUNT(*) AS n_tiles,
+           CAST(CAST(sum(CAST({PHASH(f"({row})")} AS DECIMAL(38,0)))
+                AS DECIMAL(38,0)) % 4611686018427387904 AS BIGINT) AS checksum
+    FROM tiles
+    """
+
+
+@_register("lineage_checksum_portable", _lineage_checksum_sql())
+def lineage_checksum_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 with a FULL value oracle: an order-insensitive portable
+    checksum (md5-based 60-bit row hash, decimal-summed mod 2^62) of
+    the res-7 tile table. The fast in-engine lineage path keeps
+    xxhash64 (JVM-only); this portable twin lets an EXTERNAL system —
+    here DuckDB, in production a warehouse reconciliation job — verify
+    a published tile table end-to-end without running Spark."""
+    from ..operators.portable import phash_col
+
+    tiles = geo_tile_agg(spark, sf_dir)
+    row = F.concat_ws("|", *[F.col(c).cast("string") for c in _TILE_COLS])
+    h = phash_col(row)
+    return tiles.select(h.alias("__h")).agg(
+        F.count(F.lit(1)).alias("n_tiles"),
+        F.pmod(
+            F.sum(F.col("__h").cast("decimal(38,0)")),
+            F.lit(2 ** 62).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias("checksum"),
+    )
 
 
 @_register("lineage_metrics")

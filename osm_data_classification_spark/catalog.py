@@ -62,9 +62,11 @@ PRIORITY: tuple[str, ...] = (
     "sql_tpch_q1",
     "sql_tpch_q3",
     # -- round-2 oracle upgrades: first driver signal for S4 (byte-
-    # exact extraction), A10/A11 (fixed-parameter projection and
-    # assignment), and duplicate-cluster closure --
+    # exact extraction), S5 (portable lineage checksum), A10/A11
+    # (fixed-parameter projection and assignment), and duplicate-
+    # cluster closure --
     "pages_text_extract",
+    "lineage_checksum_portable",
     "pca_project_fixed",
     "kmeans_assign_fixed",
     "dedup_clusters",
@@ -88,7 +90,6 @@ PRIORITY: tuple[str, ...] = (
     "stream_session_agg",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "text_token_count",
     "ann_lsh_bucketed",
     "ann_ivf_topk",
 )

@@ -63,7 +63,7 @@ def main() -> None:
         lambda: geocoded_pages(
             spark, args.sf_dir, multiplier=args.multiplier, res=args.res
         ).withColumn(
-            "contributor", F.regexp_extract("url", r"site(\d+)", 1).cast("long")
+            "contributor", F.regexp_extract("url", r"site(\d+)", 1).try_cast("long")
         ),
         cell_col="cell",
         force=not args.resume,

@@ -35,7 +35,7 @@ def flagship(
     """
     pages = geocoded_pages(spark, sf_dir, multiplier=multiplier, res=res)
     pages = pages.withColumn(
-        "contributor", F.regexp_extract("url", r"site(\d+)", 1).cast("long")
+        "contributor", F.regexp_extract("url", r"site(\d+)", 1).try_cast("long")
     )
     packed = packed_boundaries(n_boundaries)
     matched = pip_join(pages, packed, res=res)

@@ -223,7 +223,7 @@ def geo_tile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-encoded pages — the 'tile-to-cell assignments bit-for-bit' gate
     (BASELINE.json:6) run by the driver every round."""
     pages = geocoded_pages(spark, sf_dir, res=7).withColumn(
-        "contributor", F.regexp_extract("url", r"site(\d+)", 1).cast("long")
+        "contributor", F.regexp_extract("url", r"site(\d+)", 1).try_cast("long")
     )
     return _flatten_hist(tile_aggregate(pages, res=7, cell_col="cell"))
 
@@ -274,7 +274,7 @@ def rollup_res_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     up from its own finest-res tiles (additive sums are associative,
     so level-by-level == direct)."""
     pages = geocoded_pages(spark, sf_dir, res=_LADDER_TOP).withColumn(
-        "contributor", F.regexp_extract("url", r"site(\d+)", 1).cast("long")
+        "contributor", F.regexp_extract("url", r"site(\d+)", 1).try_cast("long")
     )
     tiles = tile_aggregate(pages, res=_LADDER_TOP, cell_col="cell")
     return _flatten_hist(tile_ladder(tiles, _LADDER_TOP, _LADDER_BOTTOM))
@@ -330,7 +330,7 @@ def lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     output_rows, cell_range, checksum) of the tile table
     (BASELINE.json:6)."""
     pages = geocoded_pages(spark, sf_dir, res=7).withColumn(
-        "contributor", F.regexp_extract("url", r"site(\d+)", 1).cast("long")
+        "contributor", F.regexp_extract("url", r"site(\d+)", 1).try_cast("long")
     )
     tiles = tile_aggregate(pages, res=7, cell_col="cell").drop("activity_hist")
     return lineage_rows(tiles, cell_col="cell")
@@ -346,7 +346,7 @@ def geo_travel_distance(spark: SparkSession, sf_dir: str) -> DataFrame:  # oracl
     from ..geo.distance import haversine_km_col
 
     pages = geocoded_pages(spark, sf_dir, res=7).withColumn(
-        "contributor", F.regexp_extract("url", r"site(\d+)", 1).cast("long")
+        "contributor", F.regexp_extract("url", r"site(\d+)", 1).try_cast("long")
     )
     from pyspark.sql.window import Window
 

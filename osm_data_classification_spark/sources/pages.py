@@ -139,8 +139,12 @@ def geocode_cols(text: Column) -> tuple[Column, Column]:
     Pure JVM (regexp + arithmetic) — the geocode of 10^12 rows never
     crosses into Python. A pandas-UDF variant with identical semantics
     lives in functions/geo_udfs.py for the API-parity surface."""
-    i = F.regexp_extract(text, r"loc_(\d+)_(\d+)", 1).cast("long")
-    j = F.regexp_extract(text, r"loc_(\d+)_(\d+)", 2).cast("long")
+    # try_cast, not cast: regexp_extract yields "" on no-match, and
+    # under ANSI mode (Spark 4 default) CAST('' AS BIGINT) THROWS —
+    # a junk page on a real crawl must geocode to NULL, not kill the
+    # job (caught by tests/test_robustness.py)
+    i = F.regexp_extract(text, r"loc_(\d+)_(\d+)", 1).try_cast("long")
+    j = F.regexp_extract(text, r"loc_(\d+)_(\d+)", 2).try_cast("long")
     lon = F.lit(-180.0) + i * F.lit(LON_STEP) + F.lit(LON_OFF)
     lat = F.lit(-90.0) + j * F.lit(LAT_STEP) + F.lit(LAT_OFF)
     return lon, lat
@@ -148,14 +152,25 @@ def geocode_cols(text: Column) -> tuple[Column, Column]:
 
 def geocoded_pages(spark: SparkSession, sf_dir: str, multiplier: int = 1, res: int = 7) -> DataFrame:
     """pages + (lon, lat, cell) — the standard front half of the
-    flagship trace (SURVEY.md §3.2): scan → geocode → encode."""
+    flagship trace (SURVEY.md §3.2): scan → geocode → encode.
+
+    Pages whose text has no place token geocode to NULL and are
+    DROPPED here (explicitly, at the source): on a real crawl a junk
+    page would otherwise flow into the tile aggregation as a NULL-cell
+    group. The synthetic table always carries a token, so the filter
+    is a no-op on this data — it exists for the real-input contract
+    (asserted in tests/test_robustness.py)."""
     pages = synth_pages(spark, sf_dir, multiplier)
     lon, lat = geocode_cols(F.col("text"))
-    return pages.select(
-        "*",
-        lon.alias("lon"),
-        lat.alias("lat"),
-    ).withColumn("cell", cell_encode_col(F.col("lon"), F.col("lat"), res))
+    return (
+        pages.select(
+            "*",
+            lon.alias("lon"),
+            lat.alias("lat"),
+        )
+        .filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+        .withColumn("cell", cell_encode_col(F.col("lon"), F.col("lat"), res))
+    )
 
 
 def geocode_np(texts) -> tuple:

@@ -193,3 +193,33 @@ def test_catalog_queries_survive_empty_input(spark, tmp_path_factory):
     for name in EMPTY_INPUT_QUERIES:
         df = cat[name].fn(spark, empty_dir)
         assert df.count() == 0, f"{name} produced rows from empty input"
+
+
+def test_ungeocodable_pages_dropped_not_null_tiled(spark):
+    """A page with no place token must geocode to NULL and be dropped
+    at the source — never become a NULL-cell tile group."""
+    from osm_data_classification_spark.geo.cells import cell_encode_col
+    from osm_data_classification_spark.operators.geo_ops import tile_aggregate
+    from osm_data_classification_spark.sources.pages import geocode_cols
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "hello loc_5_9 world"),
+            ("u2", "no token at all"),
+            ("u3", "also none"),
+        ],
+        "url string, text string",
+    )
+    lon, lat = geocode_cols(F.col("text"))
+    geo = (
+        pages.select("*", lon.alias("lon"), lat.alias("lat"))
+        .filter(F.col("lon").isNotNull() & F.col("lat").isNotNull())
+        .withColumn("cell", cell_encode_col(F.col("lon"), F.col("lat"), 7))
+        .withColumn("lang", F.lit("en"))
+        .withColumn("warc_ts", F.current_timestamp())
+        .withColumn("contributor", F.lit(1))
+    )
+    tiles = tile_aggregate(geo, res=7, cell_col="cell").collect()
+    assert len(tiles) == 1
+    assert tiles[0]["cell"] is not None
+    assert tiles[0]["n_edits"] == 1

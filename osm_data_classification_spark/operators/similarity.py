@@ -91,7 +91,10 @@ def _pair_dots(pairs: DataFrame, norms: DataFrame) -> DataFrame:
     cos = F.floor(
         F.lit(1000000.0) * F.col("dot") / (F.sqrt("__nq") * F.sqrt("__nc"))
     )
-    return dots.select("qid", "cid", cos.cast("long").alias("cos_x1e6"))
+    # try_cast: a zero vector makes 0/0 = NaN, and ANSI CAST(NaN AS
+    # BIGINT) would kill the job — degrade to NULL score instead (the
+    # driver corpus is unit-normalized, so this never fires there)
+    return dots.select("qid", "cid", cos.try_cast("long").alias("cos_x1e6"))
 
 
 def _rank_topk(scored: DataFrame, k: int = TOP_K) -> DataFrame:

@@ -170,6 +170,8 @@ EMPTY_INPUT_QUERIES = [
     "text_hash_embedding", "ann_cosine_topk", "geo_cell_encode",
     "geo_pip_join", "geo_knn_join", "geo_tile_agg", "mm_frame_sample",
     "pages_text_extract", "asof_join_purchase_view", "dedup_clusters",
+    "sql_tpch_q5", "sql_tpch_q18", "kmeans_assign_fixed",
+    "pca_project_fixed", "rollup_res_ladder", "mm_decode_features",
 ]
 
 

@@ -161,6 +161,11 @@ def _explode_kring(
 # candidate count — everything else takes ring passes)
 _CARTESIAN_BUDGET = 64_000_000
 
+# max probe count for which the certified-id set may be broadcast-
+# hinted in the anti-joins (~8 bytes/id -> ~16 MB); beyond it the
+# hint is dropped and AQE decides from runtime stats
+_CERT_BROADCAST_MAX = 2_000_000
+
 
 def _cert_bound_sq(lon_col: str, lat_col: str, res: int, ring: int) -> Column:
     """Squared lower bound on the distance from a probe to any candidate
@@ -204,12 +209,16 @@ def knn_join(
     persist: bool = True,
     rings: "tuple[int, ...] | None" = None,
     n_candidates: "int | None" = None,
+    n_probes: "int | None" = None,
 ) -> DataFrame:
     """Exact k-nearest-neighbor join (planar squared-degree metric).
 
     ``n_candidates``: pass the candidate count if the caller already
     knows it (most do — they counted for :func:`knn_auto_res`); saves
-    the residue path one count job.
+    the residue path one count job. ``n_probes``: pass the probe count
+    to size-gate the certified-id anti-join broadcast — hinted only
+    when the id set is provably small (see ``_CERT_BROADCAST_MAX``),
+    since it approaches |probes| once most probes certify.
 
     probes:     (id_col, lon, lat);  candidates: (cand_id_col, lon, lat).
     Returns (id_col, cand_id_col, dist_sq, rank), rank 1..k, ties broken
@@ -278,9 +287,13 @@ def knn_join(
         ok = (F.col("__n") >= k) & (F.col("__kth") < F.col("__cert_sq"))
         parts.append(stage.filter(ok).select(*out_cols))
         cert_ids = stage.filter(ok).select(id_col).distinct()
-        # no broadcast hint: cert_ids approaches |probes| when most
-        # certify — at 10^9 probes that hint would be a multi-GB
-        # broadcast; AQE broadcasts it only while it is small
+        # size-gated hint: cert_ids approaches |probes| once most
+        # certify — a forced broadcast at 10^9 probes would be multi-
+        # GB, but leaving a tiny id set to a sort-merge anti-join
+        # costs two avoidable shuffles per pass (measured ~2x on the
+        # local bench). Hint only under the known-small gate.
+        if n_probes is not None and n_probes <= _CERT_BROADCAST_MAX:
+            cert_ids = F.broadcast(cert_ids)
         remaining = remaining.join(cert_ids, id_col, "left_anti")
         if persist:
             remaining = remaining.persist()
@@ -348,9 +361,8 @@ def knn_join(
             ok = (F.col("__n") >= k) & (F.col("__kth") < F.col("__cert_sq"))
             parts.append(stage.filter(ok).select(*out_cols))
             cert_ids = stage.filter(ok).select(id_col).distinct()
-            # no broadcast hint: cert_ids approaches |probes| when most
-            # certify — at 10^9 probes that hint would be a multi-GB
-            # broadcast; AQE broadcasts it only while it is small
+            if n_probes is not None and n_probes <= _CERT_BROADCAST_MAX:
+                cert_ids = F.broadcast(cert_ids)
             remaining = remaining.join(cert_ids, id_col, "left_anti")
             if persist:
                 remaining = remaining.persist()

@@ -165,6 +165,7 @@ def geo_knn_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="qid",
         cand_id_col="cid",
         n_candidates=n,
+        n_probes=n,
     )
 
 
@@ -180,7 +181,7 @@ def geo_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = pts.count()
     res = knn_auto_res(n, k=5)
     return knn_join(
-        pts, pts.withColumnRenamed("qid", "cid"), k=5, res=res, n_candidates=n
+        pts, pts.withColumnRenamed("qid", "cid"), k=5, res=res, n_candidates=n, n_probes=n
     )
 
 

@@ -65,6 +65,9 @@ def main() -> None:
 
     from osm_data_classification_spark.operators.geo_ops import tile_ladder
 
+    # batch_id is a partition column: replayed epochs were already
+    # REPLACED at write time (dynamic partition overwrite in
+    # partials_batch_writer), so the compaction just drops it.
     partials = spark.read.parquet(args.partials).drop("batch_id")
     ladder = tile_ladder(merge_tile_partials(partials), args.res, args.bottom)
     ladder.write.mode("overwrite").partitionBy("res").parquet(args.out)

@@ -45,6 +45,10 @@ def connected_components(
     WRONG clustering (round-2 ADVICE). Label propagation converges in
     O(diameter); raise max_iter or swap in large-star/small-star for
     pathological graphs."""
+    if max_iter < 1:
+        # Guard up front: with an empty loop range the for/else branch
+        # below would reference `changed` unbound (ADVICE r2).
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

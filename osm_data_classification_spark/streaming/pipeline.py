@@ -160,9 +160,20 @@ def tile_partials(pages: DataFrame, res: int = 9) -> DataFrame:
 
     lon, lat = geocode_cols(F.col("text"))
     enc = pages.select(
-        cell_encode_col(lon, lat, res).alias("cell"),
+        lon.alias("__lon"),
+        lat.alias("__lat"),
         F.col("lang").alias("__lang"),
         F.dayofweek("warc_ts").alias("__dow"),
+    ).filter(
+        # Same contract as the batch source (sources/pages.py
+        # geocoded_pages): ungeocodable pages are DROPPED, never
+        # NULL-tiled — otherwise junk input emits a NULL-cell tile
+        # group and breaks batch≡stream equivalence (ADVICE r2).
+        F.col("__lon").isNotNull() & F.col("__lat").isNotNull()
+    ).select(
+        cell_encode_col(F.col("__lon"), F.col("__lat"), res).alias("cell"),
+        "__lang",
+        "__dow",
     )
     return enc.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_edits"),
@@ -197,15 +208,23 @@ def merge_tile_partials(partials: DataFrame) -> DataFrame:
 
 def partials_batch_writer(partials_dir: str, res: int = 9):
     """foreachBatch sink: reduce each pages micro-batch to finest-res
-    partial tiles and append them to the partials store. The write is
-    idempotent per epoch on a real sink via (batch_id) dedup — recorded
-    here as a column so the compaction can drop replayed epochs."""
+    partial tiles and write them to the partials store, partitioned by
+    ``batch_id`` with DYNAMIC partition overwrite. foreachBatch is
+    at-least-once: a failure between the parquet commit and the
+    checkpoint commit replays the micro-batch with the SAME batch_id —
+    a plain append would then double-count every measure (ADVICE r2).
+    Dynamic overwrite makes the replay REPLACE its own epoch partition
+    (batch content is pinned by the checkpointed offsets, so the
+    rewrite is byte-equivalent), which is the exactly-once recipe for
+    deterministic foreachBatch sinks."""
 
     def write(batch_df: DataFrame, batch_id: int) -> None:
         (
             tile_partials(batch_df, res=res)
             .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(partials_dir)
         )
 

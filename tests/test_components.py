@@ -68,3 +68,17 @@ def test_components_long_path_converges(spark):
         connected_components(df, max_iter=5)
     got = {r["node"]: r["comp"] for r in connected_components(df, max_iter=30).collect()}
     assert got == {i: 0 for i in range(25)}
+
+def test_max_iter_below_one_raises_valueerror(spark):
+    """max_iter <= 0 must fail loudly up front (round-2 ADVICE: the
+    for/else branch referenced `changed` unbound on an empty range)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from osm_data_classification_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="max_iter"):
+        connected_components(edges, max_iter=0)

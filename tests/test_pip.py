@@ -118,3 +118,28 @@ def test_cell_cover_vectorized_matches_per_bbox_oracle():
         got = set(zip(cells.tolist(), bids.tolist()))
         assert got == exp
         assert len(cells) == len(got)  # no duplicate pairs emitted
+
+def test_cell_cover_out_of_range_latitude_is_empty_not_crash():
+    """A boundary lying entirely outside the [-90, 90] latitude band
+    must contribute an EMPTY cover (the per-bbox oracle's behavior),
+    not negative repeat counts that crash the vectorized build
+    (round-2 ADVICE, low). Mixed with an in-range boundary, only the
+    in-range one survives."""
+    bad_hi = square(1, 10, 95, 12, 99)    # entirely above 90
+    bad_lo = square(2, 10, -99, 12, -95)  # entirely below -90
+    good = square(3, 10, 40, 12, 42)
+    for rows in ([bad_hi], [bad_lo], [bad_hi, good, bad_lo]):
+        p = PackedPolygons.from_rows(rows)
+        cells, bids = p.cell_cover(8)
+        assert set(bids.tolist()) <= {3}
+        assert (len(cells) > 0) == any(r[0] == 3 for r in rows)
+
+
+def test_index_of_after_ensure_index_hoist():
+    """index_of must keep mapping external ids to row indexes with the
+    sort hoisted into _ensure_index (VERDICT r2 nit 1)."""
+    p = PackedPolygons.from_rows(
+        [square(30, 0, 0, 1, 1), square(10, 2, 2, 3, 3), square(20, 4, 4, 5, 5)]
+    )
+    got = p.index_of(np.array([10, 20, 30, 20], dtype=np.int64))
+    assert [int(p.boundary_id[i]) for i in got] == [10, 20, 30, 20]

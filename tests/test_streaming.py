@@ -286,3 +286,61 @@ def test_streaming_tile_ladder_equals_batch(spark, sf_dir):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(os.path.dirname(partials_dir), ignore_errors=True)
+
+def test_replayed_epoch_not_double_counted(spark, sf_dir):
+    """foreachBatch is at-least-once: a micro-batch can be re-run with
+    the SAME batch_id after a failure between sink commit and
+    checkpoint commit. The partials writer must make the replay
+    REPLACE its epoch (dynamic partition overwrite), so the compacted
+    tiles equal the no-failure run (round-2 ADVICE, medium)."""
+    from osm_data_classification_spark.sources.pages import synth_pages
+    from osm_data_classification_spark.streaming.pipeline import (
+        merge_tile_partials,
+        partials_batch_writer,
+        tile_partials,
+    )
+
+    pages = synth_pages(spark, sf_dir).drop("html")
+    b0 = pages.filter(F.crc32("url") % 2 == 0)
+    b1 = pages.filter(F.crc32("url") % 2 == 1)
+    pdir = tempfile.mkdtemp(prefix="replay_partials_") + "/p"
+    try:
+        write = partials_batch_writer(pdir, res=7)
+        write(b0, 0)
+        write(b1, 1)
+        write(b0, 0)  # replayed epoch 0 — must replace, not append
+        merged = merge_tile_partials(
+            spark.read.parquet(pdir).drop("batch_id")
+        ).toPandas()
+        expected = tile_partials(b0.unionByName(b1), res=7).toPandas()
+
+        def canon(df):
+            df = df.copy()
+            df["activity_hist"] = df["activity_hist"].map(
+                lambda a: "|".join(str(int(v)) for v in a)
+            )
+            return sorted(map(tuple, df[sorted(df.columns)].to_numpy()))
+
+        assert canon(merged) == canon(expected)
+    finally:
+        shutil.rmtree(os.path.dirname(pdir), ignore_errors=True)
+
+
+def test_tile_partials_drop_ungeocodable_pages(spark):
+    """The streaming ladder honors the same contract as the batch
+    source: pages that geocode to NULL are dropped, never emitted as a
+    NULL-cell tile group (round-2 ADVICE, low)."""
+    from osm_data_classification_spark.streaming.pipeline import tile_partials
+
+    pages = spark.createDataFrame(
+        [
+            ("u1", "hello loc_5_9 world", "en"),
+            ("u2", "no token at all", "en"),
+            ("u3", "also none", "fr"),
+        ],
+        "url string, text string, lang string",
+    ).withColumn("warc_ts", F.current_timestamp())
+    rows = tile_partials(pages, res=7).collect()
+    assert len(rows) == 1
+    assert rows[0]["cell"] is not None
+    assert rows[0]["n_edits"] == 1

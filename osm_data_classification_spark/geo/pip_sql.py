@@ -72,6 +72,20 @@ def polygon_rings() -> list[tuple[int, list[tuple[float, float]]]]:
                 ],
             )
         )
+    # bid 21: anti-meridian polygon stored UNWRAPPED (lon 175→185), so
+    # the ±360-image path (geo/pip.py::_contains_one) gets a hard
+    # driver grade, not only tests/test_pip.py (round-2 VERDICT #3).
+    # Tall (lat ±75) so the pseudo-uniform tail population yields hits
+    # on both sides of the date line at driver scale.
+    out.append(
+        (
+            21,
+            [
+                (175.0, -75.0), (185.0, -75.0), (185.0, 75.0),
+                (175.0, 75.0), (175.0, -75.0),
+            ],
+        )
+    )
     return out
 
 
@@ -109,20 +123,29 @@ def pip_exact_sql(pages_sql: str) -> str:
                max(greatest(x1, x2)) AS xmax, max(greatest(y1, y2)) AS ymax
         FROM segs GROUP BY bid
     ),
+    shifts(dx) AS (VALUES (0.0), (360.0)),
     cand AS (
-        SELECT p.url, p.warc_ts, p.lon, p.lat, b.bid
-        FROM pages p JOIN bbox b
-          ON p.lon >= b.xmin AND p.lon <= b.xmax
+        -- a boundary stored UNWRAPPED (xmax > 180) must also test each
+        -- point's +360 image — the exact mirror of the Spark refine's
+        -- image rule (geo/pip.py::_contains_one). Images outside the
+        -- bbox have even parity by construction, so filtering them
+        -- here is exact, not an approximation.
+        SELECT p.url, p.warc_ts, p.lon + sh.dx AS lon, p.lat, b.bid
+        FROM pages p CROSS JOIN shifts sh
+        JOIN bbox b
+          ON (sh.dx = 0 OR b.xmax > 180)
+         AND p.lon + sh.dx >= b.xmin AND p.lon + sh.dx <= b.xmax
          AND p.lat >= b.ymin AND p.lat <= b.ymax
     ),
     crossings AS (
-        SELECT c.url, c.warc_ts, c.bid,
+        SELECT c.url, c.warc_ts, c.bid, c.lon,
                sum(CASE WHEN (s.y1 > c.lat) <> (s.y2 > c.lat)
                          AND c.lon < s.x1 + (c.lat - s.y1) * (s.x2 - s.x1)
                                              / (s.y2 - s.y1)
                         THEN 1 ELSE 0 END) AS n
         FROM cand c JOIN segs s ON s.bid = c.bid
-        GROUP BY c.url, c.warc_ts, c.bid
+        GROUP BY c.url, c.warc_ts, c.bid, c.lon
     )
-    SELECT url, warc_ts, bid AS boundary_id FROM crossings WHERE n % 2 = 1
+    SELECT DISTINCT url, warc_ts, bid AS boundary_id
+    FROM crossings WHERE n % 2 = 1
     """

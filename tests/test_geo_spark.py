@@ -224,3 +224,25 @@ def test_explode_kring_no_duplicate_cells_any_ring(spark):
         width = min(2 * ring + 1, n)
         per_probe = ex.groupBy("pid").count().select(F.max("count")).first()[0]
         assert per_probe <= width * n, f"res={res} ring={ring}: over-explode"
+
+def test_pip_exact_oracle_set_crosses_antimeridian(spark, sf_dir):
+    """The driver-graded literal polygon set includes a wrapped
+    (lon 175→185) boundary, and it must collect hits on BOTH sides of
+    the date line — the direct frame AND the +360-image path
+    (geo/pip.py::_contains_one) — so the image logic carries a hard
+    driver signal (round-2 VERDICT #3)."""
+    from osm_data_classification_spark.geo.pip import PackedPolygons
+    from osm_data_classification_spark.geo.pip_sql import boundary_rows
+
+    pages = geocoded_pages(spark, sf_dir, res=7)
+    packed = PackedPolygons.from_rows(boundary_rows())
+    assert packed.bbox[packed.index_of(np.array([21]))[0], 2] > 180.0
+    hits = (
+        pip_join(pages, packed, res=7)
+        .filter(F.col("boundary_id") == 21)
+        .select("lon")
+        .collect()
+    )
+    east = sum(1 for r in hits if r["lon"] >= 0)
+    west = sum(1 for r in hits if r["lon"] < 0)
+    assert east > 0 and west > 0

@@ -45,6 +45,23 @@ HEADLINE = [
 ]
 
 
+def noise_probe() -> float:
+    """Fixed CPU spin-loop, timed. The host has documented multi-minute
+    hypervisor-steal events (NOTES_r2.md: loadavg 13 with zero local
+    processes, every query uniformly 1.3–3× slower); this probe's wall
+    time scales with exactly that steal, so interleaving it between
+    queries makes a contaminated trial DETECTABLE in the JSON itself —
+    compare probe samples across runs before comparing query times
+    (round-2 VERDICT #6)."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc + i * i) & 0xFFFFFFFF
+    if acc < 0:  # unreachable; keeps the loop from being elided
+        print(acc)
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_CPUS", CPUS)
     from osm_data_classification_spark.catalog import full_catalog
@@ -56,20 +73,23 @@ def main() -> None:
     cat = full_catalog()
 
     timings: dict[str, float] = {}
+    probes: list[float] = [noise_probe()]
 
     # --- flagship: spatial-join + tiling (the BASELINE.json metric) ------
     # warm-up once so JVM/Python-worker startup isn't attributed to it;
-    # best-of-2 because the Arrow refine stage's wall time is noisy
-    # under local[32] thread contention
+    # best-of-3 because the Arrow refine stage's wall time is noisy
+    # under local[32] thread contention (and the host has phantom-steal
+    # events — see noise_probe)
     flagship(spark, SF_DIR, multiplier=1).count()
     flagship_s = None
     n_tiles = 0
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         df = flagship(spark, SF_DIR, multiplier=MULTIPLIER)
         n_tiles = df.count()
         dt = time.perf_counter() - t0
         flagship_s = dt if flagship_s is None or dt < flagship_s else flagship_s
+    probes.append(noise_probe())
     # pages processed = input rows of the trace (crawl fan-out included)
     from osm_data_classification_spark.sources.pages import synth_pages
 
@@ -91,14 +111,16 @@ def main() -> None:
         if warm_dir != SF_DIR and os.path.isdir(warm_dir):
             spec.fn(spark, warm_dir).count()
         best = None
-        for _ in range(2):  # best-of-2: GC/scheduler noise is real
+        for _ in range(3):  # best-of-3: GC/scheduler/steal noise is real
             t0 = time.perf_counter()
             spec.fn(spark, SF_DIR).count()
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
+        probes.append(noise_probe())
 
     total = round(sum(timings.values()), 3)
+    probes_r = [round(p, 4) for p in probes]
     print(
         json.dumps(
             {
@@ -112,6 +134,16 @@ def main() -> None:
                 "flagship_pages_per_sec": round(n_pages / flagship_s, 1),
                 "cpus": int(CPUS),
                 "multiplier": MULTIPLIER,
+                # interleaved fixed-work CPU probes: a contaminated
+                # trial shows here as elevated/ragged samples — check
+                # before reading anything into cross-round deltas
+                "noise_probe_s": {
+                    "min": min(probes_r),
+                    "max": max(probes_r),
+                    "median": sorted(probes_r)[len(probes_r) // 2],
+                    "samples": probes_r,
+                },
+                "runs_per_query": 3,
             }
         )
     )

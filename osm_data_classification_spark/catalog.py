@@ -70,22 +70,32 @@ PRIORITY: tuple[str, ...] = (
     "pca_project_fixed",
     "kmeans_assign_fixed",
     "dedup_clusters",
+    # -- round-3 rotation (round-2 VERDICT #1): the six never-driver-
+    # graded full oracles take the slots of entries green in BOTH
+    # rounds (scan_pages, filter_lang_en, distinct_users,
+    # join_orders_customer, semi_join_active_users, union_sources,
+    # star_join_3way, window_running_sum, sort_limit_report — all now
+    # past the window on their pytest + two-round driver history) --
+    "sql_tpch_q5",
+    "sql_tpch_q18",
+    "sql_correlated_subquery",
+    "grouped_zscore_apply",
+    "mm_decode_features",
+    "mm_frame_sample",
+    # -- round-3 new driver-gradable entries --
+    # A4's error bound folded into a reproducible flag (VERDICT #2)
+    "agg_approx_distinct",
+    # foreachBatch incremental rollup end-to-end (VERDICT #8)
+    "stream_tile_ladder",
+    # the shuffle-cover PIP regime under the value oracle (VERDICT #7)
+    "geo_pip_join_shuffle",
     # -- representative round-1-green coverage of SURVEY §2 --
     # (A1/A5/A6 are driver-covered via the ref chain — element
     # metadata, user features' activity columns, editor top-K — so
     # their events-table twins sit past the window on pytest gates)
-    "scan_pages",
-    "filter_lang_en",
-    "distinct_users",
-    "join_orders_customer",
-    "star_join_3way",
-    "semi_join_active_users",
     "normalize_minmax",
     "window_version_chain",
-    "window_running_sum",
     "window_topk_per_group",
-    "sort_limit_report",
-    "union_sources",
     "json_extract_props",
     "stream_session_agg",
     "dedup_exact",

@@ -14,9 +14,12 @@ Scale notes (the 1000-executor story):
   broadcast-hash join, the refine is a stateless map. The only
   exchanges in the flagship are the tile-agg groupBys.
 - The kNN join shuffles both sides once, keyed by cell; border
-  correctness comes from an in-plan certification bound plus a
-  fallback pass for the (tiny) uncertified remainder, so the plan is
-  static — no driver-side convergence loop.
+  correctness comes from an in-plan certification bound. The
+  scheduled ring passes are a static plan; only the RESIDUE (the
+  uncertified remainder, typically ~0) takes a driver-side widening
+  loop — O(log n) passes, each a blocking count over the persisted,
+  shrinking residue, each pass re-scanning only the annulus of new
+  cells and merging the previous pass's per-probe top-k.
 - Mega-cell skew: distinct-count aggregation is two-phase keyed on
   (cell, contributor) first — the hot cell's rows spread over the
   whole cluster in phase 1 — and AQE skew-join splitting is on in the
@@ -56,6 +59,7 @@ def pip_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     refine: bool = True,
+    cover_broadcast_max: int | None = None,
 ) -> DataFrame:
     """points ⨝ polygons with `point inside polygon` semantics.
 
@@ -71,13 +75,19 @@ def pip_join(
     Phase 2 (exact): Arrow-batched pandas UDF ray-cast against the
     broadcast packed rings. ``refine=False`` exposes phase 1 alone
     (used by tests to check the cover is a superset).
+    ``cover_broadcast_max`` overrides the broadcast gate (default: the
+    module's ``_COVER_BROADCAST_MAX``, resolved at call time) — pass 0
+    to force the shuffle-cover regime (the >10^4-boundary plan) so it
+    can be exercised under the driver oracle, not only in plan tests.
     """
+    if cover_broadcast_max is None:
+        cover_broadcast_max = _COVER_BROADCAST_MAX
     spark = points.sparkSession
     cover_cells, cover_bids = packed.cell_cover(res)
     cover = spark.createDataFrame(
         pd.DataFrame({"__cell": cover_cells, "boundary_id": cover_bids})
     )
-    if len(cover_cells) <= _COVER_BROADCAST_MAX:
+    if len(cover_cells) <= cover_broadcast_max:
         cover = F.broadcast(cover)
     cand = points.withColumn(
         "__cell", cell_encode_col(F.col(lon_col), F.col(lat_col), res)
@@ -114,14 +124,24 @@ def _grid_key(x: Column, y: Column) -> Column:
 
 
 def _explode_kring(
-    df: DataFrame, lon_col: str, lat_col: str, res: int, ring: int
+    df: DataFrame, lon_col: str, lat_col: str, res: int, ring: int,
+    inner: int | None = None,
 ) -> DataFrame:
     """Add one row per k-ring neighbor cell of each input row's cell,
     keyed by :func:`_grid_key`. x wraps (anti-meridian), y clamps
     (poles) — mirrors kring_np. The (dx,dy) offsets are exploded as a
     literal array FIRST and the key computed once per output row, so
     the plan carries one small key expression instead of (2r+1)²
-    inlined copies."""
+    inlined copies.
+
+    ``inner``: exclude the cells of the ``inner``-ring block (emit the
+    ANNULUS only). Valid whenever the inner block was enumerated
+    un-capped (2*inner+1 <= n, guaranteed for any ring that did not
+    trigger the full-cover terminal): every inner cell's offset
+    representative in this enumeration has max(|dx|,|dy|) <= inner, so
+    the offset filter removes exactly the inner block — the residue
+    widening loop re-scans only new cells and merges the previous
+    pass's per-probe top-k instead of re-joining the whole block."""
     n = 1 << res
     x, y = xy_cols(F.col(lon_col), F.col(lat_col), res)
     # x wraps, so when the ring spans the whole grid (2*ring+1 >= n)
@@ -146,10 +166,15 @@ def _explode_kring(
         )
         .withColumn("__ny", F.col("__y") + F.col("__dy"))
         .filter((F.col("__ny") >= 0) & (F.col("__ny") < n))
-        .withColumn(
-            "__cell",
-            _grid_key(F.pmod(F.col("__x") + F.col("__dx"), F.lit(n)), F.col("__ny")),
+    )
+    if inner is not None:
+        assert 2 * inner + 1 <= n, "inner block must be un-capped"
+        out = out.filter(
+            F.greatest(F.abs(F.col("__dx")), F.abs(F.col("__dy"))) > inner
         )
+    out = out.withColumn(
+        "__cell",
+        _grid_key(F.pmod(F.col("__x") + F.col("__dx"), F.lit(n)), F.col("__ny")),
     )
     return out.drop("__x", "__y", "__dx", "__dy", "__ny")
 
@@ -256,20 +281,32 @@ def knn_join(
     if rings is None:
         rings = (ring,)
 
-    def topk(joined: DataFrame) -> DataFrame:
+    def pair_rows(joined: DataFrame) -> DataFrame:
         dx = F.col(qlon) - F.col("__clon")
         dy = F.col(qlat) - F.col("__clat")
         d = (dx * dx + dy * dy).alias("dist_sq")
+        return joined.select(id_col, qlon, qlat, cand_id_col, d)
+
+    def topk_rows(rows: DataFrame) -> DataFrame:
         w = Window.partitionBy(id_col).orderBy("dist_sq", cand_id_col)
-        return (
-            joined.select(id_col, qlon, qlat, cand_id_col, d)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+        return rows.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
         )
 
+    def topk(joined: DataFrame) -> DataFrame:
+        return topk_rows(pair_rows(joined))
+
     out_cols = [id_col, cand_id_col, "dist_sq", "rank"]
+    topk_cols = [id_col, qlon, qlat, cand_id_col, "dist_sq"]
     remaining = probes_p = probes.select(id_col, qlon, qlat)
     parts: list[DataFrame] = []
+    # previous pass's per-probe top-k (persisted) + its ring: a later,
+    # wider pass re-scans only the ANNULUS of new cells and merges this
+    # seed — top-k over (inner top-k ∪ annulus) equals top-k over the
+    # full block, because any dropped inner candidate is dominated by k
+    # seeded ones (round-2 VERDICT #5 / NOTES_r2 round-3 candidate)
+    prev_topk: DataFrame | None = None
+    prev_ring = 0
     wp = Window.partitionBy(id_col)
     for r in rings:
         ringed = _explode_kring(remaining, qlon, qlat, res, r)
@@ -278,6 +315,7 @@ def knn_join(
         )
         if persist:
             stage = stage.persist()
+        prev_topk, prev_ring = stage.select(*topk_cols), r
         stage = stage.withColumn("__n", F.count(F.lit(1)).over(wp)).withColumn(
             "__kth", F.max("dist_sq").over(wp)
         )
@@ -345,8 +383,23 @@ def knn_join(
                 scan = remaining.coalesce(1).crossJoin(cand.drop("__cell"))
                 parts.append(topk(scan).select(*out_cols))
                 break
-            ringed = _explode_kring(remaining, qlon, qlat, res, r)
-            stage = topk(ringed.join(cand, "__cell"))
+            if prev_topk is not None and r > prev_ring and 2 * prev_ring + 1 <= n:
+                # annulus + seed merge: only the new cells join against
+                # candidates; the inner block's contribution is the k
+                # persisted seed rows per probe (semi-joined down to the
+                # current residue)
+                annulus = _explode_kring(
+                    remaining, qlon, qlat, res, r, inner=prev_ring
+                )
+                seed = prev_topk.join(
+                    remaining.select(id_col), id_col, "leftsemi"
+                )
+                stage = topk_rows(
+                    pair_rows(annulus.join(cand, "__cell")).unionByName(seed)
+                )
+            else:
+                ringed = _explode_kring(remaining, qlon, qlat, res, r)
+                stage = topk(ringed.join(cand, "__cell"))
             if full_cover:
                 parts.append(stage.select(*out_cols))
                 break
@@ -355,6 +408,7 @@ def knn_join(
             )
             if persist:
                 stage = stage.persist()
+            prev_topk, prev_ring = stage.select(*topk_cols), r
             stage = stage.withColumn("__n", F.count(F.lit(1)).over(wp)).withColumn(
                 "__kth", F.max("dist_sq").over(wp)
             )

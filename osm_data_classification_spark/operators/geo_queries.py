@@ -128,6 +128,28 @@ def geo_pip_join_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pip_join(pages, packed, res=7).select("url", "warc_ts", "boundary_id")
 
 
+@_register("geo_pip_join_shuffle", _pip_exact_sql())
+def geo_pip_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5's SHUFFLE-COVER regime under the full value oracle (round-2
+    VERDICT #7): same literal polygon set and DuckDB oracle as
+    geo_pip_join_exact, but the cover broadcast gate is forced to 0 so
+    the entry runs the non-hinted join path that a >4M-pair cover
+    takes at production scale (geo_ops.py::pip_join). The cover is
+    built at res 8 (4× the cells of the exact entry) so the coarse
+    grid differs too; the refine makes cover tightness irrelevant to
+    the result, which must value-hash identical to the broadcast
+    regime. tests/test_plans.py pins the physical shuffle join with
+    the broadcast threshold disabled."""
+    from ..geo.pip import PackedPolygons
+    from ..geo.pip_sql import boundary_rows
+
+    pages = geocoded_pages(spark, sf_dir, res=7)
+    packed = PackedPolygons.from_rows(boundary_rows())
+    return pip_join(
+        pages, packed, res=8, cover_broadcast_max=0
+    ).select("url", "warc_ts", "boundary_id")
+
+
 @_register(
     "geo_knn_join_exact",
     f"""
@@ -237,11 +259,11 @@ _LADDER_TOP = 12
 _LADDER_BOTTOM = 5
 
 
-def _ladder_sql() -> str:
+def _ladder_sql(top: int = _LADDER_TOP, bottom: int = _LADDER_BOTTOM) -> str:
     base = f"""
     WITH {PAGES_SQL},
     p_top AS (
-        SELECT {CELL_SQL('lon', 'lat', _LADDER_TOP)} AS cell, lang,
+        SELECT {CELL_SQL('lon', 'lat', top)} AS cell, lang,
                dayofweek(warc_ts) + 1 AS dow
         FROM pages
     ),
@@ -254,8 +276,8 @@ def _ladder_sql() -> str:
     )
     """
     levels = []
-    for r in range(_LADDER_TOP, _LADDER_BOTTOM - 1, -1):
-        parent = CELL_PARENT_SQL("cell", _LADDER_TOP, r)
+    for r in range(top, bottom - 1, -1):
+        parent = CELL_PARENT_SQL("cell", top, r)
         levels.append(
             f"""SELECT {parent} AS cell,
                CAST(sum(n_edits) AS BIGINT) AS n_edits,
@@ -279,6 +301,46 @@ def rollup_res_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiles = tile_aggregate(pages, res=_LADDER_TOP, cell_col="cell")
     return _flatten_hist(tile_ladder(tiles, _LADDER_TOP, _LADDER_BOTTOM))
+
+
+@_register("stream_tile_ladder", _ladder_sql(top=9, bottom=5))
+def stream_tile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 promoted to the driver surface (round-2 VERDICT #8): the
+    foreachBatch incremental rollup END-TO-END — pages written as 4
+    parquet files, streamed with maxFilesPerTrigger=1 under
+    trigger(availableNow) through the partials writer (dynamic
+    partition overwrite per epoch), then compacted (merge partials)
+    and rolled down the 9→5 resolution ladder. FULL oracle: DuckDB
+    re-synthesizes the pages and rolls the same ladder in one batch
+    pass — equality is the associativity contract that makes
+    incremental tiling correct, now driver-value-hashed every round
+    rather than only pinned by tests/test_streaming.py."""
+    import tempfile
+
+    from ..sources.pages import synth_pages
+    from ..streaming.pipeline import merge_tile_partials, partials_batch_writer
+
+    src = tempfile.mkdtemp(prefix="cat_stream_src_")
+    partials_dir = tempfile.mkdtemp(prefix="cat_stream_part_") + "/p"
+    synth_pages(spark, sf_dir).drop("html").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, text string, lang string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(partials_batch_writer(partials_dir, res=9))
+        .trigger(availableNow=True)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="cat_stream_ckpt_"))
+        .start()
+    )
+    q.awaitTermination()
+    merged = merge_tile_partials(spark.read.parquet(partials_dir).drop("batch_id"))
+    return _flatten_hist(tile_ladder(merged, 9, 5))
 
 
 _TILE_COLS = (

@@ -376,13 +376,27 @@ def agg_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct", None)  # rows-only: approx != exact by design
+@register(
+    "agg_approx_distinct",
+    """
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS within_3rsd
+    FROM events
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: HLL++ sketch — the documented fast path for `nunique` at
     10^12 rows (exact countDistinct needs a full shuffle of the keys;
-    approx_count_distinct is one pass, mergeable map-side). The result
-    carries its own error-bound verdict (|approx-exact| within 3·rsd),
-    so even the driver's rows-only record demonstrates the bound."""
+    approx_count_distinct is one pass, mergeable map-side).
+
+    FULL oracle despite the approximation (round-2 VERDICT #2): the
+    output is (exact_users, within_3rsd) — the HLL estimate itself is
+    engine-internal and not cross-engine reproducible, so it is folded
+    into the BOOLEAN bound verdict instead of being emitted. The DuckDB
+    oracle recomputes the exact count and asserts the bound as the
+    literal TRUE, so an out-of-bound sketch (or a broken exact path)
+    flips the flag and fails the driver's value hash — the error-bound
+    assert is now driver-visible, not pytest-only."""
     ev = load_table(spark, sf_dir, "events")
     agg = ev.agg(
         F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
@@ -390,7 +404,6 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     err = F.abs(F.col("approx_users") - F.col("exact_users"))
     return agg.select(
-        "approx_users",
         "exact_users",
         (err <= F.greatest(F.lit(1), F.lit(3 * 0.01) * F.col("exact_users"))).alias(
             "within_3rsd"

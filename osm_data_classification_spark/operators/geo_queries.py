@@ -339,8 +339,16 @@ def stream_tile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    merged = merge_tile_partials(spark.read.parquet(partials_dir).drop("batch_id"))
-    return _flatten_hist(tile_ladder(merged, 9, 5))
+    try:
+        partials = spark.read.parquet(partials_dir).drop("batch_id")
+    except Exception:
+        # zero input files -> availableNow fires no batch and the
+        # partials store is never created; an empty partials frame
+        # with the real schema keeps the 0-row contract
+        from ..streaming.pipeline import tile_partials
+
+        partials = tile_partials(spark.read.parquet(src).limit(0), res=9)
+    return _flatten_hist(tile_ladder(merge_tile_partials(partials), 9, 5))
 
 
 _TILE_COLS = (

@@ -172,6 +172,8 @@ EMPTY_INPUT_QUERIES = [
     "pages_text_extract", "asof_join_purchase_view", "dedup_clusters",
     "sql_tpch_q5", "sql_tpch_q18", "kmeans_assign_fixed",
     "pca_project_fixed", "rollup_res_ladder", "mm_decode_features",
+    # round-3 additions
+    "geo_pip_join_shuffle", "stream_tile_ladder",
 ]
 
 

@@ -89,6 +89,17 @@ def pip_join(
     )
     if len(cover_cells) <= cover_broadcast_max:
         cover = F.broadcast(cover)
+    else:
+        # Past the gate, a broadcast is exactly the OOM class the gate
+        # exists to prevent — but the session's 64MB auto-broadcast
+        # threshold would still happily broadcast a multi-million-pair
+        # cover. Pin the cell-keyed shuffle-hash join: the per-
+        # partition build side is cover_pairs/shuffle_partitions rows
+        # (tiny), and the points side pays its one exchange. This also
+        # makes the shuffle regime REAL wherever it is selected (the
+        # driver-graded geo_pip_join_shuffle entry runs this exact
+        # physical plan, threshold or not).
+        cover = cover.hint("shuffle_hash")
     cand = points.withColumn(
         "__cell", cell_encode_col(F.col(lon_col), F.col(lat_col), res)
     ).join(cover, "__cell")

@@ -133,13 +133,16 @@ def geo_pip_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5's SHUFFLE-COVER regime under the full value oracle (round-2
     VERDICT #7): same literal polygon set and DuckDB oracle as
     geo_pip_join_exact, but the cover broadcast gate is forced to 0 so
-    the entry runs the non-hinted join path that a >4M-pair cover
-    takes at production scale (geo_ops.py::pip_join). The cover is
-    built at res 8 (4× the cells of the exact entry) so the coarse
-    grid differs too; the refine makes cover tightness irrelevant to
-    the result, which must value-hash identical to the broadcast
-    regime. tests/test_plans.py pins the physical shuffle join with
-    the broadcast threshold disabled."""
+    the entry runs the shuffle_hash-pinned join path that a >4M-pair
+    cover takes at production scale (geo_ops.py::pip_join — the pin
+    exists because the session's 64MB auto-broadcast threshold would
+    otherwise broadcast past the gate anyway, so THIS driver run
+    executes a real ShuffledHashJoin, not a re-test of the broadcast
+    plan). The cover is built at res 8 (4× the cells of the exact
+    entry) so the coarse grid differs too; the refine makes cover
+    tightness irrelevant to the result, which must value-hash
+    identical to the broadcast regime. tests/test_plans.py pins the
+    physical plan under the default threshold."""
     from ..geo.pip import PackedPolygons
     from ..geo.pip_sql import boundary_rows
 
@@ -315,39 +318,57 @@ def stream_tile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass — equality is the associativity contract that makes
     incremental tiling correct, now driver-value-hashed every round
     rather than only pinned by tests/test_streaming.py."""
+    import shutil
     import tempfile
 
+    from pyspark.errors import AnalysisException
+
     from ..sources.pages import synth_pages
-    from ..streaming.pipeline import merge_tile_partials, partials_batch_writer
+    from ..streaming.pipeline import (
+        merge_tile_partials,
+        partials_batch_writer,
+        tile_partials,
+    )
 
     src = tempfile.mkdtemp(prefix="cat_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="cat_stream_ckpt_")
     partials_dir = tempfile.mkdtemp(prefix="cat_stream_part_") + "/p"
-    synth_pages(spark, sf_dir).drop("html").repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
-    stream = (
-        spark.readStream.schema(
-            "url string, warc_ts timestamp, text string, lang string"
-        )
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src)
-    )
-    q = (
-        stream.writeStream.foreachBatch(partials_batch_writer(partials_dir, res=9))
-        .trigger(availableNow=True)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="cat_stream_ckpt_"))
-        .start()
-    )
-    q.awaitTermination()
     try:
-        partials = spark.read.parquet(partials_dir).drop("batch_id")
-    except Exception:
-        # zero input files -> availableNow fires no batch and the
-        # partials store is never created; an empty partials frame
-        # with the real schema keeps the 0-row contract
-        from ..streaming.pipeline import tile_partials
-
-        partials = tile_partials(spark.read.parquet(src).limit(0), res=9)
+        pages = synth_pages(spark, sf_dir).drop("html")
+        pages.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(
+                "url string, warc_ts timestamp, text string, lang string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                partials_batch_writer(partials_dir, res=9)
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            partials = spark.read.parquet(partials_dir).drop("batch_id")
+        except AnalysisException:
+            # zero input files -> availableNow fires no batch and the
+            # partials store is never created (path-not-found /
+            # unable-to-infer-schema); an empty frame DETACHED from
+            # the about-to-be-deleted src dir keeps the 0-row
+            # contract. Any other failure propagates — a silent empty
+            # result would misread as an associativity bug.
+            schema = tile_partials(pages.limit(0), res=9).schema
+            partials = spark.createDataFrame([], schema)
+        # the returned ladder frame reads lazily from the partials
+        # store, which must outlive this call; the source copy and the
+        # checkpoint are stream-time-only and are removed here
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
     return _flatten_hist(tile_ladder(merge_tile_partials(partials), 9, 5))
 
 

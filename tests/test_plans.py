@@ -161,23 +161,21 @@ def test_pip_cover_switches_to_shuffle_join(spark, sf_dir, monkeypatch):
 
 def test_pip_shuffle_entry_runs_non_broadcast_path(spark, sf_dir):
     """The driver-graded geo_pip_join_shuffle entry must actually run
-    the non-hinted cover join: with the auto-broadcast threshold
-    disabled its physical plan has NO BroadcastHashJoin for the cover,
-    and its result set equals the broadcast-regime entry bit-for-bit
-    (round-2 VERDICT #7)."""
+    the shuffle-cover join — under the session's DEFAULT broadcast
+    threshold, exactly as the driver grades it. Past the gate the
+    cover carries a shuffle_hash hint (the session's 64MB threshold
+    would otherwise auto-broadcast a toy cover and the entry would
+    silently re-test the broadcast regime). Result set must equal the
+    broadcast-regime entry bit-for-bit (round-2 VERDICT #7)."""
     want = sorted(
         (r["url"], str(r["warc_ts"]), r["boundary_id"])
         for r in _q("geo_pip_join_exact")(spark, sf_dir).collect()
     )
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        df = _q("geo_pip_join_shuffle")(spark, sf_dir)
-        kinds = audit.join_kinds(df)
-        assert "BroadcastHashJoin" not in kinds, kinds
-        got = sorted(
-            (r["url"], str(r["warc_ts"]), r["boundary_id"]) for r in df.collect()
-        )
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    df = _q("geo_pip_join_shuffle")(spark, sf_dir)
+    kinds = audit.join_kinds(df)
+    assert "BroadcastHashJoin" not in kinds, kinds
+    assert "ShuffledHashJoin" in kinds, kinds
+    got = sorted(
+        (r["url"], str(r["warc_ts"]), r["boundary_id"]) for r in df.collect()
+    )
     assert got == want

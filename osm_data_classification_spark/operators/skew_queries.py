@@ -115,3 +115,47 @@ def pages_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.md5("extracted")).alias("text_md5"),
         )
     )
+
+
+HOST_RE = r"^https?://([^/]+)/"
+
+
+def _host_agg_sql() -> str:
+    from ..geo.cells_sql import PAGES_SQL
+
+    return f"""
+    WITH {PAGES_SQL}
+    SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+           COUNT(*) AS n_crawls,
+           COUNT(DISTINCT url) AS n_urls,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM pages GROUP BY 1
+    """
+
+
+@_register("host_agg", _host_agg_sql())
+def host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl rollup — the domain-level view every crawl
+    pipeline maintains (politeness budgets, per-domain quality priors,
+    domain dedup decisions): host extracted from the url, then one
+    partial-aggregatable groupBy (counts, distincts, total text
+    bytes). Integer measures only, so the result is bit-stable under
+    any partitioning. FULL oracle: DuckDB re-synthesizes the pages and
+    re-rolls the same host table."""
+    pages = synth_pages(spark, sf_dir)
+    return (
+        pages.select(
+            F.regexp_extract("url", HOST_RE, 1).alias("host"),
+            "url",
+            "lang",
+            F.length("text").alias("__len"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_crawls"),
+            F.countDistinct("url").alias("n_urls"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("__len").alias("total_chars"),
+        )
+    )

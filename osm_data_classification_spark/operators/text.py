@@ -309,3 +309,41 @@ def text_hash_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.select(
         "doc_id", F.posexplode(F.array(*dims)).alias("dim", "val")
     ).select("doc_id", F.col("dim").cast("long").alias("dim"), "val")
+
+
+# split thresholds: bucket = portable_hash(doc_id) mod 1000
+SPLIT_BUCKETS = 1000
+TRAIN_LT, VAL_LT = 900, 950  # 90/5/5
+
+
+def _split_sql() -> str:
+    b = f"({PHASH('doc_id')} % {SPLIT_BUCKETS})"
+    return f"""
+    SELECT doc_id,
+           {b} AS bucket,
+           CASE WHEN {b} < {TRAIN_LT} THEN 'train'
+                WHEN {b} < {VAL_LT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """
+
+
+@_register("sample_hash_split", _split_sql())
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) by portable hash of
+    the document id — the reproducible-split primitive every training
+    pipeline needs: stable across runs, engines, partitionings, and
+    re-ingests (no rand(), no row ordering anywhere), and any engine
+    holding the table can re-derive membership. One narrow projection;
+    no shuffle at all. FULL oracle: DuckDB recomputes the identical
+    md5-derived bucket per row."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    b = F.pmod(phash_col(F.col("doc_id")), F.lit(SPLIT_BUCKETS))
+    return docs.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < TRAIN_LT, F.lit("train"))
+        .when(b < VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -174,6 +174,7 @@ EMPTY_INPUT_QUERIES = [
     "pca_project_fixed", "rollup_res_ladder", "mm_decode_features",
     # round-3 additions
     "geo_pip_join_shuffle", "stream_tile_ladder",
+    "sample_hash_split", "host_agg",
 ]
 
 

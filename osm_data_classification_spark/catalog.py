@@ -89,18 +89,27 @@ PRIORITY: tuple[str, ...] = (
     "stream_tile_ladder",
     # the shuffle-cover PIP regime under the value oracle (VERDICT #7)
     "geo_pip_join_shuffle",
+    # -- round-3 additions: web-curation ops (URL canonicalization,
+    # Gopher repetition signals, CCNet global paragraph dedup), the
+    # quantile-sketch bound verdict (A4's percentile sibling), and
+    # three more TPC-H shapes (pushdown-only Q6, EXISTS Q4,
+    # conditional-agg Q14). They take the slots of seven MORE
+    # both-rounds-green entries (normalize_minmax,
+    # window_version_chain, window_topk_per_group, json_extract_props,
+    # stream_session_agg, dedup_exact, ann_lsh_bucketed — all past the
+    # window now on pytest + two-round driver history) --
+    "url_canonicalize",
+    "text_repetition_metrics",
+    "dedup_paragraph_global",
+    "agg_quantile_bound",
+    "sql_tpch_q6",
+    "sql_tpch_q4",
+    "sql_tpch_q14",
     # -- representative round-1-green coverage of SURVEY §2 --
     # (A1/A5/A6 are driver-covered via the ref chain — element
     # metadata, user features' activity columns, editor top-K — so
     # their events-table twins sit past the window on pytest gates)
-    "normalize_minmax",
-    "window_version_chain",
-    "window_topk_per_group",
-    "json_extract_props",
-    "stream_session_agg",
-    "dedup_exact",
     "dedup_minhash_lsh",
-    "ann_lsh_bucketed",
     "ann_ivf_topk",
 )
 
@@ -109,7 +118,8 @@ def full_catalog() -> dict[str, QuerySpec]:
     cat: dict[str, QuerySpec] = {}
     cat.update(_RELATIONAL)
     for modname in ("dedup", "text", "similarity", "geo_queries", "ml_queries",
-                    "multimodal", "ref_features", "skew_queries", "grouped", "sql_surface", "temporal", "components"):
+                    "multimodal", "ref_features", "skew_queries", "grouped",
+                    "sql_surface", "temporal", "components", "webtext"):
         mod = __import__(
             f"osm_data_classification_spark.operators.{modname}",
             fromlist=["CATALOG"],

@@ -412,6 +412,84 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_quantile_bound",
+    """
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS n,
+           CAST(FLOOR(quantile_disc(value, 0.5) * 1000) AS BIGINT)
+               AS exact_p50_x1000,
+           TRUE AS within_bound
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def agg_quantile_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4's quantile sibling: the percentile SKETCH with a
+    driver-visible error bound. `approx_percentile(value, 0.5, acc)`
+    is the one-pass mergeable path at 10^12 rows (a t-digest/KLL-class
+    sketch; the exact quantile needs a per-group sort). Like
+    agg_approx_distinct, the sketch value itself is engine-internal,
+    so it folds into a BOOLEAN rank-bound verdict: the returned value
+    is a real element, and its rank interval [count(<v)+1, count(<=v)]
+    must overlap rank 0.5·n ± n/acc (+1 index slack). The exact p50
+    (discrete, floor((n-1)·q) index — same definition as DuckDB's
+    quantile_disc, see grouped_quantiles_apply) is emitted for the
+    value hash.
+
+    Plan: one groupBy pass (sketch + count), one broadcast join back
+    (the agg side is |event_type| rows — bounded vocabulary, never
+    data-sized), one conditional re-aggregation for the rank counts,
+    plus the exact-quantile window pass that exists only to GRADE the
+    sketch — at scale you run only the first pass."""
+    acc = 1000
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    sketch = ev.groupBy("event_type").agg(
+        F.expr(f"approx_percentile(value, 0.5, {acc})").alias("approx_p50"),
+        F.count("value").alias("n"),
+    )
+    ranks = (
+        ev.join(F.broadcast(sketch), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("value") < F.col("approx_p50"), 1).otherwise(0)).alias(
+                "cnt_lt"
+            ),
+            F.sum(F.when(F.col("value") <= F.col("approx_p50"), 1).otherwise(0)).alias(
+                "cnt_le"
+            ),
+            F.first("n").alias("n"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("value")
+    exact = (
+        ev.select(
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("nn"),
+        )
+        .where(F.col("rn") == F.floor((F.col("nn") - 1) / 2) + 1)
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 1000).alias("exact_p50_x1000"),
+        )
+    )
+    slack = (F.col("n") / acc) + 1
+    target = F.col("n") * 0.5
+    within = (F.col("cnt_lt") + 1 <= target + slack) & (
+        F.col("cnt_le") >= target - slack
+    )
+    return (
+        ranks.join(exact, "event_type")
+        .select("event_type", "n", "exact_p50_x1000", within.alias("within_bound"))
+    )
+
+
+@register(
     "agg_activity_histogram",
     """
     SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,

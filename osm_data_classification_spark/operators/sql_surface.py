@@ -126,3 +126,76 @@ GROUP BY c.c_name, o.o_orderkey, o.o_orderdate
 """
 
 _register_sql("sql_tpch_q18", _Q18_BODY)
+
+# Q6-shaped forecast-revenue filter: a pure filter+aggregate with
+# every predicate pushable to the parquet scan — the plan should be
+# scan(PushedFilters) -> partial agg -> final agg, no join, no sort.
+# The range predicates are written on raw columns (not expressions)
+# so the parquet reader can evaluate them against row-group stats.
+_Q6_BODY = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2))
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.02 AND 0.09
+  AND l_quantity < 24
+"""
+
+_register_sql("sql_tpch_q6", _Q6_BODY)
+
+# Q4-shaped order-priority check: EXISTS correlated subquery ->
+# Catalyst plans a left-semi join (no row duplication however many
+# lineitems match) — the complement of the IN-subquery shape in Q18.
+_Q4_BODY = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_tax < l.l_discount
+  )
+GROUP BY o_orderpriority
+"""
+
+_register_sql("sql_tpch_q4", _Q4_BODY)
+
+# Q14-shaped promo-revenue share: conditional aggregation over a
+# fact-dim join (part is the dim -> broadcast). The share ratio is
+# computed entirely in INTEGER arithmetic (money sums are exact
+# DECIMAL(38,6) with 4 live decimals -> ×10^4 makes them integral;
+# cast to BIGINT, then integer division) — decimal/float division
+# semantics differ between the engines (DuckDB `//` on DECIMAL is
+# true division, and its double->BIGINT cast ROUNDS where Spark's
+# `div` truncates), so only the all-integer form is engine-exact.
+_Q14_BODY = """
+WITH s AS (
+    SELECT CAST(SUM(CASE WHEN p.p_type LIKE 'PROMO%'
+                         THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                                   * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                              AS DECIMAL(38,6))
+                         ELSE CAST(0 AS DECIMAL(38,6)) END) * 10000
+                AS BIGINT) AS promo_u,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(38,6))) * 10000 AS BIGINT) AS total_u,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+)
+SELECT CAST((promo_u * 100000) {div} GREATEST(total_u, 1) AS BIGINT)
+           AS promo_share_x100000,
+       n_items
+FROM s
+"""
+
+_register_sql(
+    "sql_tpch_q14",
+    _Q14_BODY.format(div="div"),
+    _Q14_BODY.format(div="//"),
+)

@@ -1,0 +1,342 @@
+"""Web-corpus curation operators (round 3): URL canonicalization,
+Gopher-style repetition metrics, and CCNet-style global paragraph
+dedup.
+
+The north-star payload is Common-Crawl web text (BASELINE.json:15);
+these are the curation passes a production training-data pipeline runs
+between extraction and dedup:
+
+- **URL canonicalization** — crawl frontiers and URL-level dedup both
+  key on a canonical URL, not the raw one (scheme/host case, default
+  ports, `www.`, tracking params, fragments all vary between crawls of
+  the same page).
+- **Repetition metrics** — the Gopher/"quality signals" family:
+  fraction of duplicated n-grams and the share of the most common
+  n-gram, used to drop boilerplate-heavy and degenerate pages.
+- **Global paragraph dedup** — CCNet removes paragraphs whose hash is
+  shared across the corpus (boilerplate: nav bars, cookie banners),
+  keeping only globally-unique content per document.
+
+All three are Catalyst-native (split / transform / explode / groupBy —
+no Python in any plan) and carry FULL DuckDB value oracles. Ratios are
+integer-scaled (operators/portable.py) so values are engine-exact.
+
+Scale notes (100 TB / 1000 executors):
+
+- `url_canonicalize` is a pure projection — no shuffle, whole-stage
+  codegen end to end.
+- `text_repetition_metrics` is explode → two-level groupBy keyed by
+  (doc_id, bigram) then (doc_id): both aggregations partial-aggregate
+  map-side, and because every bigram row of a document lives in the
+  same input split, the first combine collapses the fan-out BEFORE the
+  exchange — the shuffle carries ~distinct-bigrams-per-doc rows, not
+  token counts.
+- `dedup_paragraph_global` is the scale-correct CCNet shape: one
+  groupBy on the 60-bit chunk hash (the global frequency table), one
+  equi-join back (hash-partitioned both sides, no broadcast of
+  anything data-sized), one per-doc re-aggregation. Nothing pairwise,
+  nothing collected to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .portable import PHASH, phash_col
+from .relational import QuerySpec
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, sql=None):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization
+# ---------------------------------------------------------------------------
+
+# One regex, shared verbatim by both engines (the pattern stays inside
+# the Java-regex ∩ RE2 common subset: no backrefs, no lookaround).
+_URL_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://([^/:?#]+)(:[0-9]+)?([^?#]*)(\?[^#]*)?(#.*)?$"
+
+
+def canonical_url_cols(url):
+    """Decompose + canonicalize a URL with pure JVM expressions.
+
+    Rules (the standard crawl-frontier set): lowercase scheme and
+    host, strip a leading ``www.``, drop default ports (http:80 /
+    https:443), strip a trailing slash from a non-root path, drop
+    every ``utm_*`` tracking parameter (and the ``?`` itself if none
+    survive), drop the fragment. Returns (host, canon) columns.
+    """
+    scheme = F.lower(F.regexp_extract(url, _URL_RE, 1))
+    raw_host = F.lower(F.regexp_extract(url, _URL_RE, 2))
+    host = F.regexp_replace(raw_host, r"^www\.", "")
+    port = F.regexp_extract(url, _URL_RE, 3)  # ':443' or ''
+    path = F.regexp_extract(url, _URL_RE, 4)
+    query = F.regexp_extract(url, _URL_RE, 5)  # '?a=1&utm_x=2' or ''
+
+    keep_port = F.when(
+        ((scheme == "https") & (port == ":443"))
+        | ((scheme == "http") & (port == ":80"))
+        | (port == ""),
+        F.lit(""),
+    ).otherwise(port)
+    norm_path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.)/$", r"$1")
+    )
+    params = F.filter(
+        F.split(F.regexp_replace(query, r"^\?", ""), "&"),
+        lambda p: (p != "") & ~p.startswith("utm_"),
+    )
+    norm_query = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+
+    canon = F.concat(scheme, F.lit("://"), host, keep_port, norm_path, norm_query)
+    return host, canon
+
+
+# The messy variants are synthesized deterministically from doc_id so
+# the oracle can rebuild byte-identical input — four rotating fault
+# families: case noise, default port, utm params, fragment (doc_id%16
+# picks a combination; every fault class is exercised at any sf).
+_MESSY_SPARK = """
+concat(
+  CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END,
+  '://',
+  CASE WHEN doc_id % 4 < 2 THEN 'www.' ELSE '' END,
+  CASE WHEN doc_id % 2 = 0 THEN 'site' ELSE 'SiTe' END,
+  CAST(doc_id % 97 AS STRING),
+  '.example',
+  CASE WHEN doc_id % 8 < 4 THEN ':443' ELSE '' END,
+  '/Docs/', CAST(doc_id AS STRING),
+  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+  '?id=', CAST(doc_id AS STRING),
+  CASE WHEN doc_id % 16 < 8 THEN '&utm_source=feed&utm_campaign=x' ELSE '' END,
+  CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END
+)
+"""
+
+_MESSY_DUCK = _MESSY_SPARK.replace("AS STRING", "AS VARCHAR")
+
+# DuckDB twin of canonical_url_cols — same regex, same rules.
+_CANON_DUCK = f"""
+WITH raw AS (
+    SELECT doc_id, {_MESSY_DUCK} AS url_raw FROM documents
+),
+parts AS (
+    SELECT doc_id, url_raw,
+           lower(regexp_extract(url_raw, '{_URL_RE}', 1)) AS scheme,
+           regexp_replace(lower(regexp_extract(url_raw, '{_URL_RE}', 2)),
+                          '^www\\.', '') AS host,
+           regexp_extract(url_raw, '{_URL_RE}', 3) AS port,
+           regexp_extract(url_raw, '{_URL_RE}', 4) AS path,
+           regexp_extract(url_raw, '{_URL_RE}', 5) AS query
+    FROM raw
+),
+norm AS (
+    SELECT doc_id, url_raw, host,
+           scheme || '://' || host ||
+           CASE WHEN (scheme = 'https' AND port = ':443')
+                  OR (scheme = 'http' AND port = ':80')
+                  OR port = '' THEN '' ELSE port END ||
+           CASE WHEN path = '' THEN '/'
+                ELSE regexp_replace(path, '(.)/$', '\\1') END ||
+           CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+                ELSE '' END AS url_canon
+    FROM (
+        SELECT *,
+               list_filter(string_split(regexp_replace(query, '^\\?', ''), '&'),
+                           p -> p <> '' AND NOT starts_with(p, 'utm_'))
+                   AS kept
+        FROM parts
+    )
+)
+SELECT doc_id, url_raw, host, url_canon FROM norm
+"""
+
+
+@_register("url_canonicalize", _CANON_DUCK)
+def url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization over deterministically-synthesized messy
+    variants (case noise, `www.`, default ports, `utm_*` params,
+    fragments — all derived from doc_id so the oracle rebuilds the
+    exact input). Pure projection: at 10^12 rows this is a map-only
+    stage inside whole-stage codegen — no shuffle, no Python. FULL
+    oracle: DuckDB re-synthesizes the messy URLs and re-applies the
+    identical rule set."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    raw = docs.select("doc_id", F.expr(_MESSY_SPARK).alias("url_raw"))
+    host, canon = canonical_url_cols(F.col("url_raw"))
+    return raw.select(
+        "doc_id", "url_raw", host.alias("host"), canon.alias("url_canon")
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition metrics (Gopher-style quality signals)
+# ---------------------------------------------------------------------------
+
+_REP_DUCK = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l FROM documents
+),
+big AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(l)),
+                                 i -> l[i] || ' ' || l[i + 1])) AS bigram
+    FROM toks WHERE len(l) >= 2
+),
+cnt AS (
+    SELECT doc_id, bigram, count(*) AS c FROM big GROUP BY doc_id, bigram
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+       CAST((SUM(c - 1) * 1000) // SUM(c) AS BIGINT) AS dup_bigram_x1000,
+       CAST((MAX(c) * 1000) // SUM(c) AS BIGINT) AS top_bigram_x1000
+FROM cnt GROUP BY doc_id
+"""
+
+
+@_register("text_repetition_metrics", _REP_DUCK)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-bigram
+    fraction (occurrences beyond each bigram's first) and the share of
+    the single most common bigram, both integer-scaled. Plan: bigrams
+    built by one `transform` over the token array (no self-join),
+    explode, then two hash aggregations — both partial-aggregate
+    map-side, and the first combine runs before the exchange, so the
+    shuffle carries distinct (doc, bigram) rows only. Docs with <2
+    tokens are excluded in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    big = (
+        docs.select("doc_id", toks.alias("l"))
+        .where(F.size("l") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("l") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("l", i + 1), F.element_at("l", i + 2)
+                    ),
+                )
+            ).alias("bigram"),
+        )
+    )
+    cnt = big.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.count(F.lit(1)).alias("n_distinct_bigrams"),
+        F.expr("(sum(c - 1) * 1000) div sum(c)").alias("dup_bigram_x1000"),
+        F.expr("(max(c) * 1000) div sum(c)").alias("top_bigram_x1000"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# global paragraph dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+CHUNK = 8  # tokens per pseudo-paragraph (documents.text has no newlines)
+
+
+def _para_duck() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+        FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               unnest(range(0, (len(l) + {CHUNK} - 1) // {CHUNK})) AS cpos,
+               l
+        FROM toks
+    ),
+    ctext AS (
+        SELECT doc_id, cpos,
+               array_to_string(l[cpos * {CHUNK} + 1 : cpos * {CHUNK} + {CHUNK}],
+                               ' ') AS chunk_text
+        FROM chunks
+    ),
+    freq AS (
+        SELECT {PHASH('chunk_text')} AS h, count(*) AS n
+        FROM ctext GROUP BY 1
+    )
+    SELECT c.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN f.n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           -- coalesce: a doc with ZERO kept chunks must digest '' (the
+           -- Spark side md5's an empty array_join), not NULL
+           md5(coalesce(string_agg(CASE WHEN f.n = 1 THEN c.chunk_text END,
+                                   ' ' ORDER BY c.cpos), '')) AS kept_md5
+    FROM ctext c JOIN freq f ON {PHASH('c.chunk_text')} = f.h
+    GROUP BY c.doc_id
+    """
+
+
+@_register("dedup_paragraph_global", _para_duck())
+def dedup_paragraph_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style global paragraph dedup: documents are segmented
+    into fixed 8-token chunks (the paragraph stand-in — documents.text
+    has no newlines), each chunk hashed with the portable 60-bit hash,
+    chunks whose hash appears more than once ANYWHERE in the corpus
+    are dropped, and the surviving text is re-assembled in original
+    order (md5-digested for a compact, order-sensitive output).
+
+    Scale shape: groupBy(chunk-hash) builds the global frequency
+    table, an equi-join (hash-partitioned, no broadcast of anything
+    data-sized) annotates every chunk, one per-doc aggregation
+    re-assembles. This is exactly how boilerplate removal runs at
+    corpus scale — no pairwise comparison anywhere. FULL oracle:
+    DuckDB re-segments, re-hashes, and re-assembles; `string_agg(...
+    ORDER BY cpos)` mirrors the sort_array(struct(cpos, text)) on the
+    Spark side, and both engines skip dropped chunks (CASE → NULL /
+    filtered array) so the digests match byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    nchunks = F.expr(f"(size(l) + {CHUNK - 1}) div {CHUNK}")
+    ctext = (
+        docs.select("doc_id", toks.alias("l"))
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), nchunks - 1),
+                    lambda c: F.array_join(
+                        F.slice("l", c * CHUNK + 1, CHUNK), " "
+                    ),
+                )
+            ).alias("cpos", "chunk_text"),
+        )
+    )
+    freq = ctext.groupBy(phash_col(F.col("chunk_text")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    annotated = ctext.withColumn("h", phash_col(F.col("chunk_text"))).join(
+        freq, "h"
+    )
+    kept_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("n") == 1, F.struct("cpos", "chunk_text")
+                )
+            )
+        ),
+        lambda s: s["chunk_text"],
+    )
+    return annotated.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.md5(F.array_join(kept_sorted, " ")).alias("kept_md5"),
+    )

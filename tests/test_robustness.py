@@ -175,6 +175,11 @@ EMPTY_INPUT_QUERIES = [
     # round-3 additions
     "geo_pip_join_shuffle", "stream_tile_ladder",
     "sample_hash_split", "host_agg",
+    # round-3 web-curation + SQL additions (q6/q14 are agg-without-
+    # groupBy — 1 row on empty input by SQL semantics, so excluded
+    # like agg_approx_distinct; q4 groups, so it qualifies)
+    "url_canonicalize", "text_repetition_metrics",
+    "dedup_paragraph_global", "agg_quantile_bound", "sql_tpch_q4",
 ]
 
 

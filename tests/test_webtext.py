@@ -1,0 +1,195 @@
+"""Unit tests for the round-3 web-curation operators
+(operators/webtext.py) and the quantile-sketch bound entry.
+
+The driver's oracle gate covers sf0.01 value equality; these tests pin
+the SEMANTICS on hand-built rows where the expected answer is written
+out by hand — rule-by-rule for URL canonicalization, arithmetic for
+repetition fractions, and a planted boilerplate chunk for the global
+paragraph dedup.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from osm_data_classification_spark.operators.webtext import (
+    CHUNK,
+    canonical_url_cols,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url_raw string")
+    host, canon = canonical_url_cols(F.col("url_raw"))
+    rows = df.select(host.alias("h"), canon.alias("c")).collect()
+    return [(r["h"], r["c"]) for r in rows]
+
+
+def test_url_canonicalize_rules(spark):
+    cases = {
+        # lowercase scheme+host, strip www
+        "HTTPS://WWW.Example.COM/a": ("example.com", "https://example.com/a"),
+        # default https port dropped, non-default kept
+        "https://example.com:443/a": ("example.com", "https://example.com/a"),
+        "https://example.com:8443/a": (
+            "example.com",
+            "https://example.com:8443/a",
+        ),
+        "http://example.com:80/a": ("example.com", "http://example.com/a"),
+        # trailing slash stripped on non-root; root stays '/'
+        "https://example.com/a/": ("example.com", "https://example.com/a"),
+        "https://example.com": ("example.com", "https://example.com/"),
+        "https://example.com/": ("example.com", "https://example.com/"),
+        # utm params dropped, others kept in order, bare '?' dropped
+        "https://example.com/a?utm_source=x&id=1&utm_campaign=y": (
+            "example.com",
+            "https://example.com/a?id=1",
+        ),
+        "https://example.com/a?utm_source=x": (
+            "example.com",
+            "https://example.com/a",
+        ),
+        # fragment dropped
+        "https://example.com/a#frag": ("example.com", "https://example.com/a"),
+        # path case preserved (paths ARE case-sensitive)
+        "https://example.com/CaseSensitive": (
+            "example.com",
+            "https://example.com/CaseSensitive",
+        ),
+    }
+    got = _canon(spark, list(cases))
+    for (url, want), have in zip(cases.items(), got):
+        assert have == want, f"{url}: {have} != {want}"
+
+
+def test_url_canonicalize_idempotent(spark, sf_dir):
+    """canon(canon(x)) == canon(x) — the defining property of a
+    canonicalization; run over the full synthesized messy set."""
+    from osm_data_classification_spark.operators.webtext import url_canonicalize
+
+    out = url_canonicalize(spark, sf_dir).select("url_canon")
+    h2, c2 = canonical_url_cols(F.col("url_canon"))
+    again = out.select(F.col("url_canon").alias("once"), c2.alias("twice"))
+    bad = again.where(F.col("once") != F.col("twice")).count()
+    assert bad == 0
+
+
+def test_repetition_metrics_by_hand(spark, tmp_path):
+    docs = spark.createDataFrame(
+        [
+            # bigrams: [a b, b a, a b, b a] -> 4 total, 2 distinct,
+            # dup = (2-1)+(2-1) = 2 -> 500; top = 2 -> 500
+            (1, "a b a b a", "en", "s", 9),
+            # bigrams: [x y, y z] -> no dups -> 0; top = 1/2 -> 500
+            (2, "x y z", "en", "s", 5),
+            # single token: excluded
+            (3, "solo", "en", "s", 4),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "documents.parquet")
+    docs.write.parquet(d)
+    from osm_data_classification_spark.operators.webtext import (
+        text_repetition_metrics,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in text_repetition_metrics(spark, str(tmp_path)).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1]["n_bigrams"] == 4
+    assert rows[1]["n_distinct_bigrams"] == 2
+    assert rows[1]["dup_bigram_x1000"] == 500
+    assert rows[1]["top_bigram_x1000"] == 500
+    assert rows[2]["dup_bigram_x1000"] == 0
+    assert rows[2]["top_bigram_x1000"] == 500
+
+
+def test_paragraph_dedup_drops_planted_boilerplate(spark, tmp_path):
+    """Two docs share one identical 8-token chunk (the planted cookie
+    banner); it must be dropped from BOTH, and the reassembled digest
+    must equal the hand-computed md5 of the surviving text."""
+    banner = " ".join(f"cookie{i}" for i in range(CHUNK))
+    uniq1 = " ".join(f"alpha{i}" for i in range(CHUNK))
+    uniq2 = " ".join(f"beta{i}" for i in range(CHUNK))
+    docs = spark.createDataFrame(
+        [
+            (1, banner + " " + uniq1, "en", "s", 1),
+            (2, banner + " " + uniq2, "en", "s", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from osm_data_classification_spark.operators.webtext import (
+        dedup_paragraph_global,
+    )
+
+    rows = {
+        r["doc_id"]: r
+        for r in dedup_paragraph_global(spark, str(tmp_path)).collect()
+    }
+    for doc_id, kept in ((1, uniq1), (2, uniq2)):
+        assert rows[doc_id]["n_chunks"] == 2
+        assert rows[doc_id]["n_kept"] == 1
+        want = hashlib.md5(kept.encode()).hexdigest()
+        assert rows[doc_id]["kept_md5"] == want
+
+
+def test_paragraph_dedup_all_dropped_digests_empty(spark, tmp_path):
+    """A doc that is 100% boilerplate keeps zero chunks and digests
+    the empty string (the oracle's coalesce branch)."""
+    banner = " ".join(f"c{i}" for i in range(CHUNK))
+    docs = spark.createDataFrame(
+        [(1, banner, "en", "s", 1), (2, banner, "en", "s", 1)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    from osm_data_classification_spark.operators.webtext import (
+        dedup_paragraph_global,
+    )
+
+    rows = dedup_paragraph_global(spark, str(tmp_path)).collect()
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    for r in rows:
+        assert r["n_kept"] == 0
+        assert r["kept_md5"] == empty_md5
+
+
+def test_quantile_bound_flag_true_on_real_data(spark, sf_dir):
+    from osm_data_classification_spark.operators.relational import CATALOG
+
+    rows = CATALOG["agg_quantile_bound"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r["within_bound"] for r in rows)
+
+
+def test_quantile_exact_p50_matches_numpy(spark, sf_dir):
+    """The emitted exact p50 must equal the floor((n-1)/2)-indexed
+    sorted element per group (quantile_disc definition)."""
+    import numpy as np
+
+    from osm_data_classification_spark.io import load_table
+    from osm_data_classification_spark.operators.relational import CATALOG
+
+    got = {
+        r["event_type"]: r
+        for r in CATALOG["agg_quantile_bound"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", "value")
+        .collect()
+    )
+    by_type: dict[str, list[float]] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for et, vals in by_type.items():
+        v = np.sort(np.array(vals))
+        want = int(np.floor(v[(len(v) - 1) // 2] * 1000))
+        assert got[et]["exact_p50_x1000"] == want, et
+        assert got[et]["n"] == len(vals)

@@ -31,7 +31,6 @@ from .operators.relational import QuerySpec
 # names here; the assert below enforces both length and existence.
 PRIORITY: tuple[str, ...] = (
     # -- flagship geo value-oracles (never driver-checked in r1) --
-    "geo_cell_encode",
     "geo_pip_join_exact",
     "geo_knn_join_exact",
     "geo_tile_agg",
@@ -105,12 +104,13 @@ PRIORITY: tuple[str, ...] = (
     "sql_tpch_q6",
     "sql_tpch_q4",
     "sql_tpch_q14",
-    # -- representative round-1-green coverage of SURVEY §2 --
-    # (A1/A5/A6 are driver-covered via the ref chain — element
-    # metadata, user features' activity columns, editor top-K — so
-    # their events-table twins sit past the window on pytest gates)
-    "dedup_minhash_lsh",
-    "ann_ivf_topk",
+    # canonical-URL dedup, PII scrub, and stratified sampling take
+    # the last three both-rounds-green slots (geo_cell_encode,
+    # dedup_minhash_lsh, ann_ivf_topk — each with two driver greens
+    # AND a pytest oracle suite behind it)
+    "dedup_url_canonical",
+    "text_pii_scrub",
+    "sample_stratified",
 )
 
 

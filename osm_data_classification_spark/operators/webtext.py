@@ -108,29 +108,40 @@ def canonical_url_cols(url):
 # the oracle can rebuild byte-identical input — four rotating fault
 # families: case noise, default port, utm params, fragment (doc_id%16
 # picks a combination; every fault class is exercised at any sf).
-_MESSY_SPARK = """
+# `base` is the id the CANONICAL url is built from: url_canonicalize
+# uses doc_id itself (one page per doc), dedup_url_canonical uses
+# doc_id div 4 (four noisy raw variants per canonical page).
+
+
+def _messy_sql(str_ty: str, base: str = "doc_id") -> str:
+    return f"""
 concat(
   CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END,
   '://',
   CASE WHEN doc_id % 4 < 2 THEN 'www.' ELSE '' END,
   CASE WHEN doc_id % 2 = 0 THEN 'site' ELSE 'SiTe' END,
-  CAST(doc_id % 97 AS STRING),
+  CAST(({base}) % 97 AS {str_ty}),
   '.example',
   CASE WHEN doc_id % 8 < 4 THEN ':443' ELSE '' END,
-  '/Docs/', CAST(doc_id AS STRING),
+  '/Docs/', CAST({base} AS {str_ty}),
   CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
-  '?id=', CAST(doc_id AS STRING),
+  '?id=', CAST({base} AS {str_ty}),
   CASE WHEN doc_id % 16 < 8 THEN '&utm_source=feed&utm_campaign=x' ELSE '' END,
   CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END
 )
 """
 
-_MESSY_DUCK = _MESSY_SPARK.replace("AS STRING", "AS VARCHAR")
 
-# DuckDB twin of canonical_url_cols — same regex, same rules.
-_CANON_DUCK = f"""
-WITH raw AS (
-    SELECT doc_id, {_MESSY_DUCK} AS url_raw FROM documents
+_MESSY_SPARK = _messy_sql("STRING")
+_MESSY_DUCK = _messy_sql("VARCHAR")
+
+# DuckDB twin of canonical_url_cols — same regex, same rules. The
+# WITH body is shared by url_canonicalize and dedup_url_canonical
+# (different messy synthesis, same normalization pipeline).
+def _canon_duck_cte(messy: str) -> str:
+    return f"""
+raw AS (
+    SELECT doc_id, {messy} AS url_raw FROM documents
 ),
 parts AS (
     SELECT doc_id, url_raw,
@@ -159,7 +170,11 @@ norm AS (
                    AS kept
         FROM parts
     )
-)
+)"""
+
+
+_CANON_DUCK = f"""
+WITH {_canon_duck_cte(_MESSY_DUCK)}
 SELECT doc_id, url_raw, host, url_canon FROM norm
 """
 
@@ -339,4 +354,155 @@ def dedup_paragraph_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).alias("n_kept"),
         F.md5(F.array_join(kept_sorted, " ")).alias("kept_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL-level dedup on the canonical form
+# ---------------------------------------------------------------------------
+
+_DEDUP_URL_DUCK = f"""
+WITH {_canon_duck_cte(_messy_sql("VARCHAR", base="doc_id // 4"))}
+SELECT url_canon,
+       CAST(count(*) AS BIGINT) AS n_raw,
+       CAST(count(DISTINCT url_raw) AS BIGINT) AS n_raw_distinct,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc
+FROM norm GROUP BY url_canon
+"""
+
+
+@_register("dedup_url_canonical", _DEDUP_URL_DUCK)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup keyed on the CANONICAL url — the crawl-frontier
+    collapse step: four noisy raw variants per page (base id = doc_id
+    div 4, noise from doc_id itself) must land in one group after
+    normalization, keeping the smallest doc_id as the survivor. This
+    is canonicalization feeding dedup end-to-end: a map-only
+    normalize, then ONE hash-groupBy on url_canon — the same
+    single-shuffle shape as dedup_exact, no pairwise comparison. FULL
+    oracle: DuckDB re-synthesizes the same noisy variants and re-rolls
+    the groups."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    messy = _messy_sql("STRING", base="doc_id div 4")
+    raw = docs.select("doc_id", F.expr(messy).alias("url_raw"))
+    _, canon = canonical_url_cols(F.col("url_raw"))
+    return (
+        raw.select("doc_id", "url_raw", canon.alias("url_canon"))
+        .groupBy("url_canon")
+        .agg(
+            F.count(F.lit(1)).alias("n_raw"),
+            F.countDistinct("url_raw").alias("n_raw_distinct"),
+            F.min("doc_id").alias("keep_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# Java-regex ∩ RE2 patterns (no backrefs/lookaround). The PII is
+# INJECTED deterministically from doc_id so the oracle rebuilds the
+# identical dirty text — the scrub itself is payload-agnostic.
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\b555-[0-9]{3,4}\b"
+_IP_RE = r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+_DIRTY_SPARK = """
+concat(text, ' contact user', CAST(doc_id AS STRING),
+       '@mail.example for info, call 555-',
+       CAST(1000 + doc_id % 9000 AS STRING),
+       ' or ping 10.', CAST(doc_id % 256 AS STRING),
+       '.0.', CAST(doc_id % 100 AS STRING))
+"""
+
+_DIRTY_DUCK = _DIRTY_SPARK.replace("AS STRING", "AS VARCHAR")
+
+_PII_DUCK = f"""
+WITH dirty AS (
+    SELECT doc_id, {_DIRTY_DUCK} AS t FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phone,
+       CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS BIGINT) AS n_ip,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_IP_RE}', '<IP>', 'g')) AS scrubbed_md5
+FROM dirty
+"""
+
+
+@_register("text_pii_scrub", _PII_DUCK)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every web corpus runs
+    before training: emails, phone-shaped tokens, and internal IPs
+    replaced by typed placeholders, with per-document match counts
+    for the scrub-rate dashboard. The dirty text is synthesized from
+    doc_id (deterministic, oracle-reproducible); the scrub is three
+    chained JVM regexp_replace calls — map-only, no shuffle, no
+    Python, 10^12-row safe. FULL oracle: DuckDB injects the same PII
+    and scrubs with the same RE2-compatible patterns; md5 of the
+    scrubbed text pins byte-equality."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = docs.select("doc_id", F.expr(_DIRTY_SPARK).alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return dirty.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_EMAIL_RE), 0)).cast("long").alias("n_email"),
+        F.size(F.regexp_extract_all("t", F.lit(_PHONE_RE), 0)).cast("long").alias("n_phone"),
+        F.size(F.regexp_extract_all("t", F.lit(_IP_RE), 0)).cast("long").alias("n_ip"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stratified sampling
+# ---------------------------------------------------------------------------
+
+# per-language keep rates ×1000 (en is downsampled less than the tail
+# — the usual language-balancing move); unknown langs use the default
+_STRATA_RATES = {"en": 500, "de": 250, "fr": 250}
+_DEFAULT_RATE = 100
+
+
+def _strata_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in _STRATA_RATES.items()
+    )
+    rate = f"CASE {whens} ELSE {_DEFAULT_RATE} END"
+    return f"""
+    SELECT doc_id, lang,
+           CAST({rate} AS BIGINT) AS rate_x1000
+    FROM documents
+    WHERE {PHASH('doc_id')} % 1000 < {rate}
+    """
+
+
+@_register("sample_stratified", _strata_sql())
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-language keep rates — the
+    language-balancing pass of corpus assembly. Deterministic: a doc
+    is kept iff its portable 60-bit hash mod 1000 falls under its
+    stratum's rate, so the SAME sample comes out at any parallelism,
+    any partitioning, any engine (the property random() sampling
+    can't give). Map-only filter — no shuffle. FULL oracle: DuckDB
+    applies the identical hash threshold."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in reversed(_STRATA_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return (
+        docs.withColumn("rate_x1000", rate.cast("long"))
+        .where(F.pmod(phash_col(F.col("doc_id")), F.lit(1000)) < F.col("rate_x1000"))
+        .select("doc_id", "lang", "rate_x1000")
     )

@@ -159,6 +159,94 @@ def test_paragraph_dedup_all_dropped_digests_empty(spark, tmp_path):
         assert r["kept_md5"] == empty_md5
 
 
+def test_dedup_url_canonical_collapses_variant_groups(spark, sf_dir):
+    """Every canonical group must hold exactly the 4 noisy variants of
+    its base id (doc_ids 4b..4b+3), keep the smallest, and the raw
+    variants must not all be byte-identical (the noise is real)."""
+    from osm_data_classification_spark.operators.webtext import (
+        dedup_url_canonical,
+    )
+
+    rows = dedup_url_canonical(spark, sf_dir).collect()
+    assert all(r["n_raw"] == 4 for r in rows)
+    assert all(r["keep_doc"] % 4 == 0 for r in rows)
+    # the 4 variants are not all identical strings for at least some groups
+    assert any(r["n_raw_distinct"] > 1 for r in rows)
+
+
+def test_pii_scrub_removes_all_planted_pii(spark, sf_dir):
+    """After scrubbing, re-running the matchers on the scrubbed text
+    must find zero PII — the defining property of a scrub."""
+    from osm_data_classification_spark.io import load_table
+    from osm_data_classification_spark.operators.webtext import (
+        _DIRTY_SPARK,
+        _EMAIL_RE,
+        _IP_RE,
+        _PHONE_RE,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = docs.select("doc_id", F.expr(_DIRTY_SPARK).alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    leftovers = dirty.select(scrubbed.alias("s")).where(
+        F.col("s").rlike(_EMAIL_RE)
+        | F.col("s").rlike(_PHONE_RE)
+        | F.col("s").rlike(_IP_RE)
+    )
+    assert leftovers.count() == 0
+    # and every doc had at least the injected email+phone+ip
+    from osm_data_classification_spark.operators.webtext import text_pii_scrub
+
+    counted = text_pii_scrub(spark, sf_dir)
+    bad = counted.where(
+        (F.col("n_email") < 1) | (F.col("n_phone") < 1) | (F.col("n_ip") < 1)
+    ).count()
+    assert bad == 0
+
+
+def test_stratified_sample_deterministic_and_rate_accurate(spark, sf_dir):
+    """The sample must be identical across runs/partitionings and each
+    stratum's keep fraction must sit near its configured rate."""
+    from osm_data_classification_spark.io import load_table
+    from osm_data_classification_spark.operators.webtext import (
+        _DEFAULT_RATE,
+        _STRATA_RATES,
+        sample_stratified,
+    )
+
+    a = {r["doc_id"] for r in sample_stratified(spark, sf_dir).collect()}
+    b = {r["doc_id"] for r in sample_stratified(spark, sf_dir).collect()}
+    assert a == b
+    totals = {
+        r["lang"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    kept = {
+        r["lang"]: r["n"]
+        for r in sample_stratified(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, total in totals.items():
+        want = _STRATA_RATES.get(lang, _DEFAULT_RATE) / 1000
+        got = kept.get(lang, 0) / total
+        # binomial noise at sf0.001 group sizes: ±4 sigma
+        sigma = (want * (1 - want) / total) ** 0.5
+        assert abs(got - want) <= 4 * sigma + 1 / total, (lang, got, want)
+
+
 def test_quantile_bound_flag_true_on_real_data(spark, sf_dir):
     from osm_data_classification_spark.operators.relational import CATALOG
 

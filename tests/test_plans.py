@@ -179,3 +179,46 @@ def test_pip_shuffle_entry_runs_non_broadcast_path(spark, sf_dir):
         (r["url"], str(r["warc_ts"]), r["boundary_id"]) for r in df.collect()
     )
     assert got == want
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """At 100 TB a sort-merge join's cost is dominated by shuffling the
+    FACT side; when the dim carries a selective filter, Spark can build
+    a bloom filter over the dim's join keys at runtime and apply it to
+    the fact scan BEFORE the exchange, shrinking the shuffle by the
+    selectivity factor. Assert the engine's session config actually
+    yields that plan: a `might_contain` predicate on the fact side fed
+    by a `bloom_filter_agg` build over the filtered dim. The size
+    thresholds are lowered because the test tables are tiny — at real
+    scale the defaults (10M creation / 10G application side) fire on
+    their own."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        # force the shuffle join: broadcast joins don't need the filter
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        orders = load_table(spark, sf_dir, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, sf_dir, "lineitem")
+        df = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        df.collect()
+        plan = audit.simple_plan(df)
+        assert "might_contain" in plan, plan[:2000]
+        assert "bloom_filter_agg" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

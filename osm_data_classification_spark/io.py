@@ -195,6 +195,30 @@ def upsert(
     return spark.read.parquet(data_p)
 
 
+def cluster_write(
+    df: DataFrame, path: str, col: str, n_files: int, mode: str = "overwrite"
+) -> None:
+    """Z-order-clustered parquet write (the OPTIMIZE ZORDER analog,
+    SURVEY.md §4.1). The cell id already IS a Morton code (geo/
+    cells.py), so spatial clustering is range-partitioning on it:
+    `repartitionByRange` samples the key distribution and cuts n_files
+    balanced, DISJOINT key ranges; the within-file sort tightens every
+    parquet row-group's min/max to a narrow key band. A spatial box
+    query is a contiguous Morton range (any parent cell's descendants
+    are consecutive ids), so file- and row-group-level stats pruning
+    skips everything outside the box — the difference between reading
+    ~box/world of the table and reading all of it. At 100 TB this is
+    the table-maintenance job that makes the tile store queryable;
+    locally tests/test_layout.py proves the skipping with parquet
+    footer stats."""
+    (
+        df.repartitionByRange(n_files, F.col(col))
+        .sortWithinPartitions(col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 # ---------------------------------------------------------------------------
 # CSV / JSON checkpoint formats (SURVEY.md §2.1 S2)
 #

@@ -6,6 +6,7 @@ on a real cluster)."""
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -100,3 +101,85 @@ def test_cell_prefix_partition_pruning(spark, sf_dir):
         assert back.count() == exp
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_zorder_cluster_write_skips_files_on_box_query(spark, sf_dir):
+    """Z-order clustering evidence at the parquet-footer level: after
+    cluster_write on the (Morton) cell id, a spatial box — any parent
+    cell's descendant range, which is CONTIGUOUS in the id space —
+    overlaps only the few files whose [min,max] band intersects it,
+    while the same data written round-robin leaves every file's band
+    spanning the whole world (no file can ever be skipped). This is
+    the stats-pruning contract row-group skipping and Delta/Iceberg
+    data skipping build on."""
+    import pyarrow.parquet as pq
+
+    from osm_data_classification_spark.geo.cells import cell_parent_col
+    from osm_data_classification_spark.io import cluster_write
+    from osm_data_classification_spark.sources.pages import geocoded_pages
+
+    pages = geocoded_pages(spark, sf_dir, res=9).select("url", "cell")
+    n_files = 16
+    d_clu = tempfile.mkdtemp(prefix="zclu_")
+    d_rr = tempfile.mkdtemp(prefix="zrr_")
+    try:
+        cluster_write(pages, d_clu, "cell", n_files)
+        pages.repartition(n_files).write.mode("overwrite").parquet(d_rr)
+
+        # query box: one res-4 parent cell -> contiguous res-9 id range
+        parent = (
+            pages.select(cell_parent_col(F.col("cell"), 9, 4).alias("p"))
+            .groupBy("p").count().orderBy(F.desc("count")).first()["p"]
+        )
+        # descendants at res 9: morton prefix extended by 2*(9-4) bits
+        delta = 2 * (9 - 4)
+        pm = parent & ((1 << 56) - 1)
+        res_tag = 9 << 56
+        lo = res_tag | (pm << delta)
+        hi = res_tag | ((pm + 1) << delta)
+
+        def overlapping(dirname):
+            files = [
+                os.path.join(dirname, f)
+                for f in os.listdir(dirname)
+                if f.endswith(".parquet")
+            ]
+            assert len(files) >= n_files - 1, files
+            hit = 0
+            for fp in files:
+                md = pq.ParquetFile(fp).metadata
+                idx = {
+                    md.schema.column(i).name: i
+                    for i in range(md.schema.to_arrow_schema().__len__())
+                }
+                c = idx["cell"]
+                fmin = min(
+                    md.row_group(g).column(c).statistics.min
+                    for g in range(md.num_row_groups)
+                )
+                fmax = max(
+                    md.row_group(g).column(c).statistics.max
+                    for g in range(md.num_row_groups)
+                )
+                if fmin < hi and fmax >= lo:
+                    hit += 1
+            return hit, len(files)
+
+        hit_clu, n_clu = overlapping(d_clu)
+        hit_rr, n_rr = overlapping(d_rr)
+        # round-robin: every file spans ~the whole id space
+        assert hit_rr == n_rr, (hit_rr, n_rr)
+        # clustered: the contiguous box range lives in a few files
+        assert hit_clu <= max(2, n_clu // 4), (hit_clu, n_clu)
+        # and the data is intact: the box rows are identical either way
+        a = spark.read.parquet(d_clu).filter(
+            (F.col("cell") >= lo) & (F.col("cell") < hi)
+        ).count()
+        b = spark.read.parquet(d_rr).filter(
+            (F.col("cell") >= lo) & (F.col("cell") < hi)
+        ).count()
+        exp = pages.filter((F.col("cell") >= lo) & (F.col("cell") < hi)).count()
+        assert a == b == exp and exp > 0
+    finally:
+        shutil.rmtree(d_clu, ignore_errors=True)
+        shutil.rmtree(d_rr, ignore_errors=True)

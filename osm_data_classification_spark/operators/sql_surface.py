@@ -199,3 +199,28 @@ _register_sql(
     _Q14_BODY.format(div="div"),
     _Q14_BODY.format(div="//"),
 )
+
+# Q10-shaped returned-item ranking: fact->fact->dim->dim chain with a
+# selective fact filter (returnflag), aggregated per customer, top 20
+# by revenue — the classic "who cost us the most" report. The ORDER
+# BY+LIMIT compiles to TakeOrderedAndProject (no global sort), and
+# revenue is tie-broken on c_custkey for a total order.
+_Q10_BODY = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM customer c
+JOIN orders o   ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+WHERE l.l_returnflag = 'R'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+_register_sql("sql_tpch_q10", _Q10_BODY)

@@ -506,3 +506,110 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.pmod(phash_col(F.col("doc_id")), F.lit(1000)) < F.col("rate_x1000"))
         .select("doc_id", "lang", "rate_x1000")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+# 8-token shingles: every hit is a genuine 8-token text overlap (the
+# synthetic generator reuses sentence runs, so organic overlaps exist
+# alongside the planted dedup copies — both are real contamination;
+# tests pin the flagged set against a brute-force python oracle).
+DECON_NGRAM = 8
+# benchmark membership: every 41st ORIGINAL document (planted dedup
+# copies carry offset ids >= NEAR_OFF and are never benchmark members)
+DECON_MOD = 41
+
+
+def _decon_shingles_duck(src: str) -> str:
+    terms = ", ".join(f"l[i+{k}]" for k in range(DECON_NGRAM))
+    return f"""
+        SELECT doc_id, unnest(
+            list_transform(
+                generate_series(1, greatest(0, len(l) - {DECON_NGRAM - 1})),
+                i -> concat_ws(' ', {terms})
+            )) AS shingle
+        FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+              FROM {src})
+    """
+
+
+def _decon_duck() -> str:
+    from .dedup import CORPUS_SQL, NEAR_OFF
+
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    bench AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % {DECON_MOD} = 0
+    ),
+    bsh AS (
+        SELECT DISTINCT doc_id AS bench_doc, {PHASH('shingle')} AS h
+        FROM ({_decon_shingles_duck('bench')})
+    ),
+    csh AS (
+        SELECT DISTINCT doc_id, {PHASH('shingle')} AS h
+        FROM ({_decon_shingles_duck('corpus')})
+        WHERE NOT (doc_id % {DECON_MOD} = 0 AND doc_id < {NEAR_OFF})
+    )
+    SELECT c.doc_id,
+           CAST(count(DISTINCT c.h) AS BIGINT) AS n_shared_shingles,
+           CAST(count(DISTINCT b.bench_doc) AS BIGINT) AS n_bench_docs
+    FROM csh c JOIN bsh b ON c.h = b.h
+    GROUP BY c.doc_id
+    """
+
+
+def _decon_shingles(df: DataFrame) -> DataFrame:
+    toks_df = df.select("doc_id", F.split(F.trim("text"), r"\s+").alias("__toks"))
+    t = F.col("__toks")
+    sh = F.when(
+        F.size(t) >= DECON_NGRAM,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - DECON_NGRAM),
+            lambda i: F.concat_ws(
+                " ", *[F.get(t, i + k) for k in range(DECON_NGRAM)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toks_df.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+@_register("dedup_decontaminate", _decon_duck())
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination — the pass that keeps eval data out
+    of the training corpus: flag every corpus document sharing at
+    least one 8-token shingle with a held-out benchmark set (here,
+    every 41st original document; the dedup corpus's planted exact and
+    near copies of those docs are the guaranteed contamination). The
+    scale shape is a bucketed EQUI-join on the 60-bit shingle hash —
+    distinct (doc, hash) on each side, join, per-doc aggregation; the
+    benchmark side is small but is NOT broadcast by hint (AQE decides;
+    a benchmark suite can be millions of shingles). Nothing pairwise,
+    nothing driver-side. FULL oracle: DuckDB re-shingles both sides
+    and re-joins."""
+    from .dedup import NEAR_OFF, corpus, spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) == 0)
+    bsh = (
+        _decon_shingles(spread(bench))
+        .select(F.col("doc_id").alias("bench_doc"), phash_col(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    c = corpus(spark, sf_dir).where(
+        ~((F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) == 0) & (F.col("doc_id") < NEAR_OFF))
+    )
+    csh = (
+        _decon_shingles(spread(c))
+        .select("doc_id", phash_col(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    return (
+        csh.join(bsh, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_shingles"),
+            F.countDistinct("bench_doc").alias("n_bench_docs"),
+        )
+    )

@@ -181,6 +181,7 @@ EMPTY_INPUT_QUERIES = [
     "url_canonicalize", "text_repetition_metrics",
     "dedup_paragraph_global", "agg_quantile_bound", "sql_tpch_q4",
     "dedup_url_canonical", "text_pii_scrub", "sample_stratified",
+    "dedup_decontaminate",
 ]
 
 

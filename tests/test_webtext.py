@@ -281,3 +281,67 @@ def test_quantile_exact_p50_matches_numpy(spark, sf_dir):
         want = int(np.floor(v[(len(v) - 1) // 2] * 1000))
         assert got[et]["exact_p50_x1000"] == want, et
         assert got[et]["n"] == len(vals)
+
+
+def test_decontaminate_flags_exactly_planted_overlaps(spark, sf_dir):
+    """The dedup corpus plants exact copies of originals < 25 (at
+    +20000) and first-token-dropped near copies of originals < 50 (at
+    +10000); benchmark = every 41st original. The flagged set must
+    equal a brute-force python re-computation over the same corpus
+    (the synthetic generator reuses sentence runs, so ORGANIC 8-gram
+    overlaps between distinct docs exist and are genuine contamination
+    — exactly what the op is for), and the planted copies of benchmark
+    docs must always be inside it."""
+    from osm_data_classification_spark.operators.dedup import (
+        EXACT_OFF,
+        N_EXACT,
+        N_NEAR,
+        NEAR_OFF,
+    )
+    from osm_data_classification_spark.operators.webtext import (
+        DECON_MOD,
+        dedup_decontaminate,
+    )
+
+    rows = {r["doc_id"]: r for r in dedup_decontaminate(spark, sf_dir).collect()}
+
+    # brute-force python oracle over the same corpus construction
+    from osm_data_classification_spark.io import load_table
+    from osm_data_classification_spark.operators.webtext import DECON_NGRAM
+
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+
+    def sh(text):
+        t = text.strip().split()
+        return {
+            " ".join(t[i : i + DECON_NGRAM])
+            for i in range(len(t) - DECON_NGRAM + 1)
+        }
+
+    corpus = dict(docs)
+    for d, t in docs.items():
+        if d < N_NEAR:
+            corpus[d + NEAR_OFF] = t.split(None, 1)[1] if " " in t else ""
+        if d < N_EXACT:
+            corpus[d + EXACT_OFF] = t
+    bench = {d: sh(t) for d, t in docs.items() if d % DECON_MOD == 0}
+    bench_all = set().union(*bench.values()) if bench else set()
+    want = {}
+    for d, t in corpus.items():
+        if d % DECON_MOD == 0 and d < NEAR_OFF:
+            continue
+        shared = sh(t) & bench_all
+        if shared:
+            want[d] = (len(shared), sum(1 for b in bench.values() if b & sh(t)))
+    assert set(rows) == set(want), (sorted(rows), sorted(want))
+    for did, (n_sh, n_bd) in want.items():
+        assert rows[did]["n_shared_shingles"] == n_sh, did
+        assert rows[did]["n_bench_docs"] == n_bd, did
+    # the planted copies of benchmark docs are always flagged
+    for base in range(0, N_EXACT, DECON_MOD):
+        assert base + EXACT_OFF in rows
+    for base in range(0, N_NEAR, DECON_MOD):
+        assert base + NEAR_OFF in rows

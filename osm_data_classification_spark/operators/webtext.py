@@ -101,7 +101,14 @@ def canonical_url_cols(url):
     ).otherwise(F.lit(""))
 
     canon = F.concat(scheme, F.lit("://"), host, keep_port, norm_path, norm_query)
-    return host, canon
+    # junk that isn't a URL (real crawl frontiers always contain some)
+    # must canonicalize to NULL, not a degenerate ':///' string — the
+    # caller drops or quarantines NULLs explicitly
+    is_url = url.rlike(_URL_RE)
+    return (
+        F.when(is_url, host),
+        F.when(is_url, canon),
+    )
 
 
 # The messy variants are synthesized deterministically from doc_id so
@@ -154,7 +161,11 @@ parts AS (
     FROM raw
 ),
 norm AS (
-    SELECT doc_id, url_raw, host,
+    SELECT doc_id, url_raw,
+           -- non-URL junk canonicalizes to NULL (Spark twin: rlike gate)
+           CASE WHEN regexp_matches(url_raw, '{_URL_RE}')
+                THEN host END AS host,
+           CASE WHEN regexp_matches(url_raw, '{_URL_RE}') THEN
            scheme || '://' || host ||
            CASE WHEN (scheme = 'https' AND port = ':443')
                   OR (scheme = 'http' AND port = ':80')
@@ -162,7 +173,8 @@ norm AS (
            CASE WHEN path = '' THEN '/'
                 ELSE regexp_replace(path, '(.)/$', '\\1') END ||
            CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
-                ELSE '' END AS url_canon
+                ELSE '' END
+           END AS url_canon
     FROM (
         SELECT *,
                list_filter(string_split(regexp_replace(query, '^\\?', ''), '&'),

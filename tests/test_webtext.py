@@ -65,6 +65,14 @@ def test_url_canonicalize_rules(spark):
         assert have == want, f"{url}: {have} != {want}"
 
 
+def test_url_canonicalize_junk_is_null(spark):
+    """Non-URL junk (always present in a real frontier) must
+    canonicalize to NULL, never to a degenerate ':///' string."""
+    junk = ["not a url", "", "ftp//broken", "https://", "   ", "A@B"]
+    got = _canon(spark, junk)
+    assert all(h is None and c is None for h, c in got), got
+
+
 def test_url_canonicalize_idempotent(spark, sf_dir):
     """canon(canon(x)) == canon(x) — the defining property of a
     canonicalization; run over the full synthesized messy set."""

@@ -55,3 +55,45 @@ def flagship(
         .agg(F.count(F.lit(1)).alias("n_boundaries"))
     )
     return tiles.join(bhits, "cell", "left").fillna(0, subset=["n_boundaries"])
+
+
+def run_curate(spark: SparkSession, sf_dir: str, out: str) -> set:
+    """The curation job's core (jobs/curate.py is the spark-submit
+    shell around this): run the webtext curation funnel, PII-scrub the
+    surviving text, write the curated corpus + funnel report, and
+    return the (doc_id, md5(text)) set — the determinism witness the
+    tests compare across runs."""
+    import os
+
+    from .io import checkpoint_write
+    from .operators.webtext import (
+        _EMAIL_RE,
+        _IP_RE,
+        _PHONE_RE,
+        curate_corpus_funnel,
+        curate_stages,
+    )
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    stages = curate_stages(spark, sf_dir)
+    curated = stages["s6_sampled"].select(
+        "doc_id", "lang", scrubbed.alias("text")
+    )
+    checkpoint_write(curated, os.path.join(out, "data"))
+    funnel = curate_corpus_funnel(spark, sf_dir)
+    funnel.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(out, "funnel")
+    )
+    back = spark.read.parquet(os.path.join(out, "data", "data"))
+    return {
+        (r["doc_id"], r["h"])
+        for r in back.select("doc_id", F.md5("text").alias("h")).collect()
+    }

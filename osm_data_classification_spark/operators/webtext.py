@@ -587,6 +587,174 @@ def _decon_shingles(df: DataFrame) -> DataFrame:
     return toks_df.select("doc_id", F.explode(sh).alias("shingle"))
 
 
+# ---------------------------------------------------------------------------
+# the end-to-end curation funnel
+# ---------------------------------------------------------------------------
+
+MIN_TOKENS = 20          # length gate
+MAX_DUP_BIGRAM = 600     # repetition gate (x1000)
+
+
+def _funnel_duck() -> str:
+    """One WITH-chain re-deriving every stage's survivor count —
+    composed from the SAME SQL fragments the per-stage oracles use."""
+    canon = _canon_duck_cte(_messy_sql("VARCHAR", base="doc_id // 4"))
+    return f"""
+    WITH {canon},
+    survivors AS (
+        SELECT min(doc_id) AS doc_id FROM norm GROUP BY url_canon
+    ),
+    s1 AS (
+        SELECT d.doc_id, d.lang,
+               string_split_regex(trim(d.text), '\\s+') AS l, d.text
+        FROM documents d JOIN survivors s USING (doc_id)
+    ),
+    s2 AS (SELECT * FROM s1 WHERE len(l) >= {MIN_TOKENS}),
+    rep AS (
+        SELECT doc_id, (SUM(c - 1) * 1000) // SUM(c) AS dup_x1000
+        FROM (
+            SELECT doc_id, bigram, count(*) AS c
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(l)),
+                              i -> l[i] || ' ' || l[i + 1])) AS bigram
+                FROM s2
+            ) GROUP BY doc_id, bigram
+        ) GROUP BY doc_id
+    ),
+    s3 AS (
+        SELECT s2.* FROM s2 JOIN rep USING (doc_id)
+        WHERE rep.dup_x1000 <= {MAX_DUP_BIGRAM}
+    ),
+    s4 AS (SELECT * FROM s3 WHERE doc_id % {DECON_MOD} <> 0),
+    bsh AS (
+        SELECT DISTINCT {PHASH('shingle')} AS h
+        FROM ({_decon_shingles_duck('documents')})
+        WHERE doc_id % {DECON_MOD} = 0
+    ),
+    contaminated AS (
+        SELECT DISTINCT doc_id
+        FROM ({_decon_shingles_duck('s4')}) c
+        JOIN bsh ON {PHASH('c.shingle')} = bsh.h
+    ),
+    s5 AS (
+        SELECT * FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ),
+    s6 AS (
+        SELECT * FROM s5
+        WHERE {PHASH('doc_id')} % 1000 <
+              CASE {" ".join(f"WHEN lang = '{k}' THEN {v}" for k, v in _STRATA_RATES.items())}
+                   ELSE {_DEFAULT_RATE} END
+    )
+    SELECT stage, rows FROM (
+        SELECT 's0_input' AS stage, CAST(count(*) AS BIGINT) AS rows, 0 AS ord FROM documents
+        UNION ALL SELECT 's1_url_dedup', CAST(count(*) AS BIGINT), 1 FROM s1
+        UNION ALL SELECT 's2_token_gate', CAST(count(*) AS BIGINT), 2 FROM s2
+        UNION ALL SELECT 's3_repetition_gate', CAST(count(*) AS BIGINT), 3 FROM s3
+        UNION ALL SELECT 's4_not_benchmark', CAST(count(*) AS BIGINT), 4 FROM s4
+        UNION ALL SELECT 's5_decontaminated', CAST(count(*) AS BIGINT), 5 FROM s5
+        UNION ALL SELECT 's6_sampled', CAST(count(*) AS BIGINT), 6 FROM s6
+    ) ORDER BY ord
+    """
+
+
+def curate_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """The curation pipeline, stage by stage — each stage is a
+    DataFrame so the funnel entry counts them and jobs/curate.py
+    writes the curated corpus. Composition of the per-stage operators
+    above (same expressions, same constants)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    messy = _messy_sql("STRING", base="doc_id div 4")
+    raw = docs.select("doc_id", F.expr(messy).alias("url_raw"))
+    _, canon = canonical_url_cols(F.col("url_raw"))
+    survivors = (
+        raw.select("doc_id", canon.alias("url_canon"))
+        .groupBy("url_canon")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = docs.join(survivors, "doc_id").withColumn(
+        "l", F.split(F.trim("text"), r"\s+")
+    )
+    s2 = s1.where(F.size("l") >= MIN_TOKENS)
+    big = s2.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("l") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("l", i + 1), F.element_at("l", i + 2)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    rep = (
+        big.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.expr("(sum(c - 1) * 1000) div sum(c)").alias("dup_x1000"))
+    )
+    s3 = s2.join(
+        rep.where(F.col("dup_x1000") <= MAX_DUP_BIGRAM).select("doc_id"),
+        "doc_id",
+    )
+    s4 = s3.where(F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) != 0)
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) == 0)
+    bsh = (
+        _decon_shingles(bench)
+        .select(phash_col(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    contaminated = (
+        _decon_shingles(s4.select("doc_id", "text"))
+        .select("doc_id", phash_col(F.col("shingle")).alias("h"))
+        .join(bsh, "h")
+        .select("doc_id")
+        .distinct()
+    )
+    s5 = s4.join(contaminated, "doc_id", "left_anti")
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in reversed(_STRATA_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    s6 = s5.where(F.pmod(phash_col(F.col("doc_id")), F.lit(1000)) < rate)
+    return {
+        "s0_input": docs,
+        "s1_url_dedup": s1,
+        "s2_token_gate": s2,
+        "s3_repetition_gate": s3,
+        "s4_not_benchmark": s4,
+        "s5_decontaminated": s5,
+        "s6_sampled": s6,
+    }
+
+
+@_register("curate_corpus_funnel", _funnel_duck())
+def curate_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END curation funnel — the pipeline a training-data
+    team actually runs, composed from this module's operators in
+    production order: canonical-URL dedup → length gate → repetition
+    gate → benchmark-member removal → decontamination → stratified
+    sample. Output is the funnel report (stage, surviving rows) every
+    curation run ships to its dashboard. Each stage is lazy — Catalyst
+    fuses the whole chain; only the counts execute here, and
+    jobs/curate.py writes the curated corpus itself from the same
+    stage graph. FULL oracle: one DuckDB WITH-chain re-derives every
+    stage from the same SQL fragments the per-stage oracles use."""
+    stages = curate_stages(spark, sf_dir)
+    parts = [
+        df.agg(F.count(F.lit(1)).alias("rows")).select(
+            F.lit(name).alias("stage"), "rows"
+        )
+        for name, df in stages.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 @_register("dedup_decontaminate", _decon_duck())
 def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination — the pass that keeps eval data out

@@ -353,3 +353,54 @@ def test_decontaminate_flags_exactly_planted_overlaps(spark, sf_dir):
         assert base + EXACT_OFF in rows
     for base in range(0, N_NEAR, DECON_MOD):
         assert base + NEAR_OFF in rows
+
+
+def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
+    """Each funnel stage only removes rows (monotone), the counts
+    equal the stage DataFrames' own counts, and the final stage is
+    non-empty at the test sf."""
+    from osm_data_classification_spark.operators.webtext import (
+        curate_corpus_funnel,
+        curate_stages,
+    )
+
+    funnel = {
+        r["stage"]: r["rows"]
+        for r in curate_corpus_funnel(spark, sf_dir).collect()
+    }
+    order = [
+        "s0_input", "s1_url_dedup", "s2_token_gate", "s3_repetition_gate",
+        "s4_not_benchmark", "s5_decontaminated", "s6_sampled",
+    ]
+    assert set(funnel) == set(order), sorted(funnel)
+    counts = [funnel[s] for s in order]
+    assert counts == sorted(counts, reverse=True), counts
+    assert counts[-1] > 0
+    stages = curate_stages(spark, sf_dir)
+    for s in order:
+        assert stages[s].count() == funnel[s], s
+
+
+def test_curate_job_output_is_scrubbed_and_deterministic(spark, sf_dir, tmp_path):
+    """The job's curated corpus carries no PII and two runs produce
+    identical row sets (hash-threshold sampling, no rand())."""
+    from osm_data_classification_spark.jobs_api import run_curate
+
+    out1 = str(tmp_path / "c1")
+    out2 = str(tmp_path / "c2")
+    a = run_curate(spark, sf_dir, out1)
+    b = run_curate(spark, sf_dir, out2)
+    assert a == b  # identical (doc_id, md5(text)) sets
+    from osm_data_classification_spark.operators.webtext import (
+        _EMAIL_RE,
+        _IP_RE,
+        _PHONE_RE,
+    )
+
+    back = spark.read.parquet(f"{out1}/data/data")
+    leftovers = back.where(
+        F.col("text").rlike(_EMAIL_RE)
+        | F.col("text").rlike(_PHONE_RE)
+        | F.col("text").rlike(_IP_RE)
+    ).count()
+    assert leftovers == 0

@@ -737,22 +737,103 @@ def curate_corpus_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     production order: canonical-URL dedup → length gate → repetition
     gate → benchmark-member removal → decontamination → stratified
     sample. Output is the funnel report (stage, surviving rows) every
-    curation run ships to its dashboard. Each stage is lazy — Catalyst
-    fuses the whole chain; only the counts execute here, and
-    jobs/curate.py writes the curated corpus itself from the same
-    stage graph. FULL oracle: one DuckDB WITH-chain re-derives every
-    stage from the same SQL fragments the per-stage oracles use."""
-    stages = curate_stages(spark, sf_dir)
-    parts = [
-        df.agg(F.count(F.lit(1)).alias("rows")).select(
-            F.lit(name).alias("stage"), "rows"
-        )
-        for name, df in stages.items()
+    curation run ships to its dashboard.
+
+    SINGLE-PASS shape: counting each stage DataFrame separately would
+    re-run the chain prefix per stage (O(stages²) scans at 100 TB).
+    Instead every gate becomes a boolean column on one annotated doc
+    table — the gates are doc-intrinsic (the URL-dedup survivor flag
+    and the contamination flag come from joins, but their VALUE does
+    not depend on the other gates) — and the funnel is ONE aggregation
+    over cumulative flag products. Trade-off vs the staged form: the
+    repetition/decontamination flags are computed for ALL docs rather
+    than only prior-stage survivors (superset work bought once, the
+    7 chain re-scans eliminated; the corpus WRITE in jobs/curate.py
+    still uses the staged graph, which filters before shingling).
+    FULL oracle: the DuckDB WITH-chain derives the same counts the
+    OTHER way — stage-by-stage subqueries — so the two formulations
+    check each other."""
+    stages_order = [
+        "s0_input", "s1_url_dedup", "s2_token_gate", "s3_repetition_gate",
+        "s4_not_benchmark", "s5_decontaminated", "s6_sampled",
     ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "text"
+    )
+    messy = _messy_sql("STRING", base="doc_id div 4")
+    raw = docs.select("doc_id", F.expr(messy).alias("url_raw"))
+    _, canon = canonical_url_cols(F.col("url_raw"))
+    survivors = (
+        raw.select("doc_id", canon.alias("url_canon"))
+        .groupBy("url_canon")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id", F.lit(True).alias("f1"))
+    )
+    toks = docs.withColumn("l", F.split(F.trim("text"), r"\s+"))
+    big = toks.where(F.size("l") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("l") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("l", i + 1), F.element_at("l", i + 2)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    rep = (
+        big.groupBy("doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.expr("(sum(c - 1) * 1000) div sum(c)").alias("dup_x1000"))
+    )
+    bench = docs.where(F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) == 0)
+    bsh = (
+        _decon_shingles(bench)
+        .select(phash_col(F.col("shingle")).alias("h"))
+        .distinct()
+    )
+    contaminated = (
+        _decon_shingles(docs)
+        .select("doc_id", phash_col(F.col("shingle")).alias("h"))
+        .join(bsh, "h")
+        .select("doc_id")
+        .distinct()
+        .withColumn("dirty", F.lit(True))
+    )
+    rate = F.lit(_DEFAULT_RATE)
+    for k, v in reversed(_STRATA_RATES.items()):
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    ann = (
+        toks.join(survivors, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            F.coalesce("f1", F.lit(False)).alias("f1"),
+            (F.size("l") >= MIN_TOKENS).alias("f2"),
+            F.coalesce(
+                F.col("dup_x1000") <= MAX_DUP_BIGRAM, F.lit(False)
+            ).alias("f3"),
+            (F.pmod(F.col("doc_id"), F.lit(DECON_MOD)) != 0).alias("f4"),
+            F.coalesce(~F.col("dirty"), F.lit(True)).alias("f5"),
+            (F.pmod(phash_col(F.col("doc_id")), F.lit(1000)) < rate).alias(
+                "f6"
+            ),
+        )
+    )
+    cum = [F.lit(True)]
+    for flag in ("f1", "f2", "f3", "f4", "f5", "f6"):
+        cum.append(cum[-1] & F.col(flag))
+    one = ann.agg(
+        *[
+            F.sum(c.cast("long")).alias(stages_order[i])
+            for i, c in enumerate(cum)
+        ]
+    )
+    stack = ", ".join(f"'{s}', {s}" for s in stages_order)
+    return one.selectExpr(
+        f"stack({len(stages_order)}, {stack}) AS (stage, rows)"
+    )
 
 
 @_register("dedup_decontaminate", _decon_duck())

@@ -224,3 +224,33 @@ LIMIT 20
 """
 
 _register_sql("sql_tpch_q10", _Q10_BODY)
+
+# Q7-shaped volume shipping: revenue between nation PAIRS by ship
+# year — the two-dimensional dim join (nation joined twice under
+# different roles) plus date-part grouping. The pair filter keeps
+# both directions of one pair, exercising the disjunctive join-level
+# predicate.
+_Q7_BODY = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(vol) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM (
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           YEAR(l.l_shipdate) AS l_year,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+             AS DECIMAL(38,6)) AS vol
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+    JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+    WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+_register_sql("sql_tpch_q7", _Q7_BODY)

@@ -404,3 +404,94 @@ def test_curate_job_output_is_scrubbed_and_deterministic(spark, sf_dir, tmp_path
         | F.col("text").rlike(_IP_RE)
     ).count()
     assert leftovers == 0
+
+
+def test_url_canonicalize_variant_invariance_randomized(spark):
+    """Randomized (seeded) batch property check: for 500 random
+    canonical URLs, every noisy variant — case noise on scheme/host,
+    `www.`, default port, utm params, fragment, trailing slash —
+    canonicalizes back to the original, in one Spark job."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(500):
+        scheme = rng.choice(["http", "https"])
+        host = f"h{rng.randrange(1000)}.example"
+        path = "/" + "/".join(
+            f"P{rng.randrange(50)}" for _ in range(rng.randrange(1, 4))
+        )
+        q = (
+            f"?a={rng.randrange(10)}&b={rng.randrange(10)}"
+            if rng.random() < 0.5
+            else ""
+        )
+        canon = f"{scheme}://{host}{path}{q}"
+        noisy = scheme.upper() if rng.random() < 0.5 else scheme
+        h = host.upper() if rng.random() < 0.5 else host
+        if rng.random() < 0.5:
+            h = "WWW." + h
+        port = (
+            (":443" if scheme == "https" else ":80")
+            if rng.random() < 0.5
+            else ""
+        )
+        extra = ""
+        if q and rng.random() < 0.5:
+            extra = "&utm_source=x&utm_medium=y"
+        elif not q and rng.random() < 0.5:
+            q2 = "?utm_source=x"
+            extra = ""
+            q = q2  # only-utm query must vanish entirely
+            canon = f"{scheme}://{host}{path}"
+        slash = "/" if rng.random() < 0.3 else ""
+        frag = "#f" + str(rng.randrange(9)) if rng.random() < 0.5 else ""
+        variant = f"{noisy}://{h}{port}{path}{slash}{q}{extra}{frag}"
+        rows.append((variant, canon))
+
+    df = spark.createDataFrame(rows, "url_raw string, want string")
+    _, canon_col = canonical_url_cols(F.col("url_raw"))
+    bad = (
+        df.select("url_raw", "want", canon_col.alias("got"))
+        .where(F.col("got") != F.col("want"))
+        .collect()
+    )
+    assert not bad, bad[:5]
+
+
+def test_repetition_and_paragraph_bounds_randomized(spark):
+    """Randomized batch bounds: for random token sequences, the
+    repetition ratios stay inside [0, 1000], dup+distinct accounting
+    is consistent, and paragraph dedup never keeps more chunks than it
+    saw."""
+    import random
+
+    rng = random.Random(11)
+    docs = []
+    for i in range(300):
+        n = rng.randrange(2, 60)
+        toks = [f"w{rng.randrange(8)}" for _ in range(n)]
+        docs.append((i, " ".join(toks), "en", "s", n))
+    df = spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        from osm_data_classification_spark.operators.webtext import (
+            dedup_paragraph_global,
+            text_repetition_metrics,
+        )
+
+        for r in text_repetition_metrics(spark, d).collect():
+            assert 0 <= r["dup_bigram_x1000"] <= 1000
+            assert 0 < r["top_bigram_x1000"] <= 1000
+            assert r["n_distinct_bigrams"] <= r["n_bigrams"]
+            # dup fraction = (n - distinct) / n, integer-scaled
+            want = (r["n_bigrams"] - r["n_distinct_bigrams"]) * 1000 // r[
+                "n_bigrams"
+            ]
+            assert r["dup_bigram_x1000"] == want
+        for r in dedup_paragraph_global(spark, d).collect():
+            assert 0 <= r["n_kept"] <= r["n_chunks"]

@@ -195,6 +195,64 @@ def upsert(
     return spark.read.parquet(data_p)
 
 
+def snapshot_write(df: DataFrame, path: str) -> int:
+    """Append a new immutable table SNAPSHOT and return its version —
+    the local emulation of Iceberg's snapshot log (time travel,
+    reproducible training-set pinning, safe rollback). Layout:
+    ``{path}/v=N/`` holds version N's full data; ``{path}/_snapshots.
+    json`` is the manifest (version, row count, schema). Old versions
+    are never touched, so a training run that pinned v=3 re-reads
+    byte-identical data forever — the property a mutable parquet dir
+    cannot give. On a real cluster this maps 1:1 onto
+    ``df.writeTo(t).createOrReplace()`` + ``VERSION AS OF``."""
+    import json as _json
+
+    man_p = os.path.join(path, "_snapshots.json")
+    manifest = []
+    if os.path.exists(man_p):
+        with open(man_p) as f:
+            manifest = _json.load(f)
+    version = (manifest[-1]["version"] + 1) if manifest else 1
+    dest = os.path.join(path, f"v={version}")
+    df.write.mode("error").parquet(dest)
+    rows = df.sparkSession.read.parquet(dest).count()
+    manifest.append(
+        {"version": version, "rows": rows, "schema": df.schema.jsonValue()}
+    )
+    tmp = man_p + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(_json.dumps(manifest))
+    os.replace(tmp, man_p)  # atomic: readers see old or new, never half
+    return version
+
+
+def snapshot_history(path: str) -> list[dict]:
+    import json as _json
+
+    man_p = os.path.join(path, "_snapshots.json")
+    if not os.path.exists(man_p):
+        return []
+    with open(man_p) as f:
+        return _json.load(f)
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a snapshot: latest by default, or ``VERSION AS OF`` a
+    specific one. Raises KeyError for a version that never existed —
+    loudly, not as an empty frame."""
+    hist = snapshot_history(path)
+    if not hist:
+        raise KeyError(f"no snapshots at {path}")
+    versions = [m["version"] for m in hist]
+    if version is None:
+        version = versions[-1]
+    if version not in versions:
+        raise KeyError(f"snapshot v={version} not in {versions} at {path}")
+    return spark.read.parquet(os.path.join(path, f"v={version}"))
+
+
 def cluster_write(
     df: DataFrame, path: str, col: str, n_files: int, mode: str = "overwrite"
 ) -> None:

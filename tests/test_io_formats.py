@@ -80,3 +80,41 @@ def test_upsert_idempotent(spark, sf_dir, tmp):
     upsert(spark, ev, tmp, keys=["event_id"])  # same rows again
     b = table_checksum(spark.read.parquet(f"{tmp}/data"))
     assert a == b
+
+
+def test_snapshot_time_travel_and_rollback(spark, sf_dir, tmp_path):
+    """Snapshot log semantics: three versions written, every earlier
+    version re-reads unchanged after later writes (time travel), the
+    latest is the default, history is complete, and a never-existing
+    version raises instead of returning an empty frame."""
+    import pytest as _pytest
+
+    from osm_data_classification_spark.io import (
+        load_table,
+        snapshot_history,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    t = str(tmp_path / "snap")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    v1 = snapshot_write(ev, t)
+    v2 = snapshot_write(ev.where(F.col("event_id") % 2 == 0), t)
+    v3 = snapshot_write(ev.limit(10), t)
+    assert (v1, v2, v3) == (1, 2, 3)
+
+    n_all = ev.count()
+    assert snapshot_read(spark, t, 1).count() == n_all
+    assert snapshot_read(spark, t, 2).count() == ev.where(
+        F.col("event_id") % 2 == 0
+    ).count()
+    assert snapshot_read(spark, t).count() == 10  # latest by default
+    hist = snapshot_history(t)
+    assert [m["version"] for m in hist] == [1, 2, 3]
+    assert hist[0]["rows"] == n_all
+    with _pytest.raises(KeyError):
+        snapshot_read(spark, t, 99)
+    # time travel is genuine: v1 bytes unchanged after v2/v3 writes
+    a = sorted(r["event_id"] for r in snapshot_read(spark, t, 1).collect())
+    b = sorted(r["event_id"] for r in ev.collect())
+    assert a == b

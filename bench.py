@@ -83,7 +83,13 @@ def main() -> None:
     flagship(spark, SF_DIR, multiplier=1).count()
     flagship_s = None
     n_tiles = 0
-    for _ in range(3):
+    # best-of-5 for the flagship specifically: its 20s+ all-32-thread
+    # stages cannot fit BETWEEN the host's steal bursts the way the
+    # sub-2s suite queries can (BENCH/OBSERVED.md: in one run every
+    # other query sat at its floor with clean probes while all three
+    # flagship trials drew 40s+, and an isolated trial minutes later
+    # ran 3.8s) — more trials raise the odds one lands in the fast mode
+    for _ in range(5):
         t0 = time.perf_counter()
         df = flagship(spark, SF_DIR, multiplier=MULTIPLIER)
         n_tiles = df.count()
@@ -144,6 +150,7 @@ def main() -> None:
                     "samples": probes_r,
                 },
                 "runs_per_query": 3,
+                "flagship_runs": 5,
             }
         )
     )

@@ -254,3 +254,45 @@ GROUP BY supp_nation, cust_nation, l_year
 """
 
 _register_sql("sql_tpch_q7", _Q7_BODY)
+
+# Q12-shaped two-class shipping check (l_linestatus standing in for
+# l_shipmode, which the synthetic schema lacks): per class, count
+# orders split by priority bucket — the CASE-inside-SUM two-way
+# conditional aggregation over a fact-fact join.
+_Q12_BODY = """
+SELECT l.l_linestatus,
+       -- CAST: DuckDB SUM(int) is HUGEINT -> float64 in pandas (r1 lesson)
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+_register_sql("sql_tpch_q12", _Q12_BODY)
+
+# Q19-shaped disjunctive-predicate revenue (p_brand/p_size standing in
+# for the brand/container/size triples): three OR-branches that each
+# pair a part attribute band with a lineitem quantity band — the shape
+# that forces the optimizer to keep the join predicate conjunctive
+# and evaluate the disjunction post-join (or push a common superset).
+_Q19_BODY = """
+SELECT CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+       AND l.l_quantity BETWEEN 20 AND 30)
+"""
+
+_register_sql("sql_tpch_q19", _Q19_BODY)

@@ -30,73 +30,42 @@ from .operators.relational import QuerySpec
 # The driver-checked window, highest-value first. Keep EXACTLY 50
 # names here; the assert below enforces both length and existence.
 PRIORITY: tuple[str, ...] = (
-    # -- flagship geo value-oracles (never driver-checked in r1) --
+    # Round-3 final rotation. Principle (round-2 VERDICT #1): the
+    # 50-slot driver window goes to full oracles that have NEVER been
+    # driver-graded, plus a small set of flagship anchors kept for
+    # round-over-round continuity. Everything rotated out is r2
+    # driver-green AND pytest-gated (CATALOG.md has the per-round
+    # grade history).
+    #
+    # -- anchors: the flagship geo value-oracles + reference chain --
     "geo_pip_join_exact",
     "geo_knn_join_exact",
     "geo_tile_agg",
     "rollup_res_ladder",
-    # -- reference analytics chain --
     "ref_element_metadata",
     "ref_changeset_metadata",
     "ref_user_features",
     "ref_editor_topk",
-    # -- round-1 FAIL/ERROR, fixed this round --
-    "agg_pivot_eventtype",
-    "agg_user_features",
-    "rollup_lang_source",
-    "window_avg_gap",
-    "text_quality_score",
-    "text_lang_id",
-    "text_hash_embedding",
-    # -- full oracles the round-1 window never reached --
-    "skew_salted_join",
-    "asof_join_purchase_view",
-    "interval_join_bucketed",
-    "cube_user_type",
-    "window_rank_family",
-    "dedup_keep_latest",
-    "null_handling_fill",
-    "mm_binary_meta",
-    "grouped_quantiles_apply",
-    "sql_tpch_q1",
-    "sql_tpch_q3",
-    # -- round-2 oracle upgrades: first driver signal for S4 (byte-
-    # exact extraction), S5 (portable lineage checksum), A10/A11
-    # (fixed-parameter projection and assignment), and duplicate-
-    # cluster closure --
+    # -- anchors: the round-2 oracle upgrades (one grade each) --
     "pages_text_extract",
     "lineage_checksum_portable",
     "pca_project_fixed",
     "kmeans_assign_fixed",
-    "dedup_clusters",
-    # -- round-3 rotation (round-2 VERDICT #1): the six never-driver-
-    # graded full oracles take the slots of entries green in BOTH
-    # rounds (scan_pages, filter_lang_en, distinct_users,
-    # join_orders_customer, semi_join_active_users, union_sources,
-    # star_join_3way, window_running_sum, sort_limit_report — all now
-    # past the window on their pytest + two-round driver history) --
+    # -- round-3 additions already slotted, never yet driver-graded --
     "sql_tpch_q5",
     "sql_tpch_q18",
     "sql_correlated_subquery",
     "grouped_zscore_apply",
     "mm_decode_features",
     "mm_frame_sample",
-    # -- round-3 new driver-gradable entries --
-    # A4's error bound folded into a reproducible flag (VERDICT #2)
+    # A4's error bound folded into a reproducible flag (r3 full-oracle
+    # upgrade: the r1 grade was rows-only, so the flag needs a grade)
     "agg_approx_distinct",
     # foreachBatch incremental rollup end-to-end (VERDICT #8)
     "stream_tile_ladder",
     # the shuffle-cover PIP regime under the value oracle (VERDICT #7)
     "geo_pip_join_shuffle",
-    # -- round-3 additions: web-curation ops (URL canonicalization,
-    # Gopher repetition signals, CCNet global paragraph dedup), the
-    # quantile-sketch bound verdict (A4's percentile sibling), and
-    # three more TPC-H shapes (pushdown-only Q6, EXISTS Q4,
-    # conditional-agg Q14). They take the slots of seven MORE
-    # both-rounds-green entries (normalize_minmax,
-    # window_version_chain, window_topk_per_group, json_extract_props,
-    # stream_session_agg, dedup_exact, ann_lsh_bucketed — all past the
-    # window now on pytest + two-round driver history) --
+    # web-curation ops + sketch-bound verdicts + TPC-H shapes (r3)
     "url_canonicalize",
     "text_repetition_metrics",
     "dedup_paragraph_global",
@@ -104,13 +73,38 @@ PRIORITY: tuple[str, ...] = (
     "sql_tpch_q6",
     "sql_tpch_q4",
     "sql_tpch_q14",
-    # canonical-URL dedup, PII scrub, and stratified sampling take
-    # the last three both-rounds-green slots (geo_cell_encode,
-    # dedup_minhash_lsh, ann_ivf_topk — each with two driver greens
-    # AND a pytest oracle suite behind it)
     "dedup_url_canonical",
     "text_pii_scrub",
     "sample_stratified",
+    # -- round-3 continuation entries, rotated in this session in the
+    # slots of 19 r2-green + pytest-gated representatives
+    # (agg_pivot_eventtype, agg_user_features, rollup_lang_source,
+    # window_avg_gap, text_quality_score, text_lang_id,
+    # text_hash_embedding, skew_salted_join, asof_join_purchase_view,
+    # interval_join_bucketed, cube_user_type, window_rank_family,
+    # dedup_keep_latest, null_handling_fill, mm_binary_meta,
+    # grouped_quantiles_apply, sql_tpch_q1, sql_tpch_q3,
+    # dedup_clusters) --
+    "sample_hash_split",
+    "host_agg",
+    "curate_corpus_funnel",
+    "dedup_decontaminate",
+    "sql_tpch_q7",
+    "sql_tpch_q10",
+    "sql_tpch_q12",
+    "sql_tpch_q19",
+    # the TPC-H completion set (this session): all 22 shapes now exist
+    "sql_tpch_q2",
+    "sql_tpch_q8",
+    "sql_tpch_q9",
+    "sql_tpch_q11",
+    "sql_tpch_q13",
+    "sql_tpch_q15",
+    "sql_tpch_q16",
+    "sql_tpch_q17",
+    "sql_tpch_q20",
+    "sql_tpch_q21",
+    "sql_tpch_q22",
 )
 
 

@@ -296,3 +296,329 @@ WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
 """
 
 _register_sql("sql_tpch_q19", _Q19_BODY)
+
+# ---------------------------------------------------------------------------
+# Round-3 completion of the TPC-H shape suite: the remaining eleven
+# queries (Q2/Q8/Q9/Q11/Q13/Q15/Q16/Q17/Q20/Q21/Q22), each adapted to
+# the synthetic schema (no partsupp table, no commit/receipt dates, no
+# phone/comment columns) while preserving the PLAN SHAPE the original
+# exercises — that shape (correlated min, scalar-subquery HAVING,
+# left-join histogram, CTE + max, NOT IN + count-distinct, correlated
+# avg, nested IN, double EXISTS, anti join + avg gate) is what the
+# optimizer and the 100-TB story care about, not the exact predicate
+# constants. All money arithmetic follows the house decimal-quantize /
+# integer-scale rules (see _Q1_BODY and _Q14_BODY comments).
+# ---------------------------------------------------------------------------
+
+# Q2-shaped min-cost supplier: the per-part correlated MIN subquery.
+# partsupp does not exist, so lineitem serves as the part↔supplier
+# relation and l_extendedprice as the cost; the correlated subquery
+# re-derives the same region-restricted min per part. DISTINCT because
+# several lineitems can sit exactly at the min. Deterministic LIMIT via
+# the (acctbal, partkey, suppname) total order.
+_Q2_BODY = """
+SELECT DISTINCT p.p_partkey, p.p_brand, s.s_name, n.n_name,
+       CAST(CAST(s.s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS s_acctbal,
+       l.l_extendedprice AS min_price
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+WHERE p.p_size = 15
+  AND p.p_type = 'STANDARD'
+  AND r.r_name = 'EUROPE'
+  AND l.l_extendedprice = (
+      SELECT MIN(l2.l_extendedprice)
+      FROM lineitem l2
+      JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+      JOIN nation n2   ON n2.n_nationkey = s2.s_nationkey
+      JOIN region r2   ON r2.r_regionkey = n2.n_regionkey
+      WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, p_partkey ASC, s_name ASC
+LIMIT 100
+"""
+
+_register_sql("sql_tpch_q2", _Q2_BODY)
+
+# Q8-shaped national market share: one nation's revenue share of a
+# region's market by order year. The share ratio uses the all-integer
+# form (see _Q14_BODY: DuckDB's decimal `//` is true division and its
+# double->BIGINT cast rounds, so only integer `div` is engine-exact).
+_Q8_BODY = """
+WITH all_nations AS (
+    SELECT YEAR(o.o_orderdate) AS o_year,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+             AS DECIMAL(38,6)) AS vol,
+           n2.n_name AS supp_nation
+    FROM part p
+    JOIN lineitem l ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON n1.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = n1.n_regionkey
+    JOIN nation n2  ON n2.n_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND p.p_type = 'ECONOMY'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+), per_year AS (
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_7' THEN vol
+                         ELSE CAST(0 AS DECIMAL(38,6)) END) * 10000
+                AS BIGINT) AS nation_u,
+           CAST(SUM(vol) * 10000 AS BIGINT) AS total_u,
+           COUNT(*) AS n_items
+    FROM all_nations
+    GROUP BY o_year
+)
+SELECT o_year,
+       CAST((nation_u * 100000) {div} GREATEST(total_u, 1) AS BIGINT)
+           AS mkt_share_x100000,
+       n_items
+FROM per_year
+"""
+
+_register_sql(
+    "sql_tpch_q8",
+    _Q8_BODY.format(div="div"),
+    _Q8_BODY.format(div="//"),
+)
+
+# Q9-shaped product-type profit: profit per supplier nation per year.
+# ps_supplycost does not exist; p_retailprice quantized to cents
+# stands in as the unit cost. The original's amount is
+# revenue - qty*cost/10; division is NOT engine-exact on decimals
+# (DuckDB decimal division converts to DOUBLE), so the whole amount is
+# scaled ×10 and kept in pure multiply/subtract decimal arithmetic,
+# emitted integer-scaled (×10000: the revenue term carries FOUR live
+# decimals — price 2dp × (1-disc) 2dp — and Spark's decimal->BIGINT
+# cast truncates where DuckDB's rounds, so the scale factor must make
+# the value integral BEFORE the cast; ×100 diverged by 1 in the last
+# digit at sf0.01).
+_Q9_BODY = """
+SELECT n.n_name AS nation,
+       YEAR(o.o_orderdate) AS o_year,
+       CAST(SUM(CAST(10 * CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(38,6))
+                AS DECIMAL(38,6))
+              - CAST(CAST(p.p_retailprice AS DECIMAL(18,2))
+                     * CAST(l.l_quantity AS DECIMAL(18,2))
+                AS DECIMAL(38,6))) * 10000 AS BIGINT) AS profit_x100000_u,
+       COUNT(*) AS n_items
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN nation n   ON n.n_nationkey = s.s_nationkey
+WHERE p.p_name LIKE '%red%'
+GROUP BY n.n_name, YEAR(o.o_orderdate)
+"""
+
+_register_sql("sql_tpch_q9", _Q9_BODY)
+
+# Q11-shaped important-inventory cut: per-part value for one nation's
+# suppliers, kept only when above a fixed fraction of the nation
+# total — the scalar-subquery-in-HAVING shape. The gate is SCALE-FREE
+# (value_u * n_parts > 2 * total_u, i.e. above 2x the mean per-part
+# value — a fixed share fraction goes empty as parts scale up, which
+# is why TPC-H itself scales the fraction by 1/SF). All-integer
+# comparison ( quantities are integral
+# so ×10000 makes every decimal integral before the truncating cast)
+# so the gate is engine-exact.
+_Q11_BODY = """
+WITH nation_lines AS (
+    SELECT l.l_partkey,
+           CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * CAST(l.l_quantity AS DECIMAL(18,2))
+             AS DECIMAL(38,6)) AS value_dec
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name = 'NATION_3'
+)
+SELECT l_partkey,
+       CAST(SUM(value_dec) * 10000 AS BIGINT) AS value_u
+FROM nation_lines
+GROUP BY l_partkey
+HAVING CAST(SUM(value_dec) * 10000 AS BIGINT)
+       * (SELECT COUNT(DISTINCT l_partkey) FROM nation_lines)
+       > 2 * (SELECT CAST(SUM(value_dec) * 10000 AS BIGINT)
+              FROM nation_lines)
+"""
+
+_register_sql("sql_tpch_q11", _Q11_BODY)
+
+# Q13-shaped customer order-count distribution: LEFT JOIN with a
+# join-level residual predicate (priority class standing in for the
+# comment NOT LIKE), COUNT over the nullable side, then a histogram
+# of the counts — the two-level aggregation over an outer join.
+_Q13_BODY = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+    FROM customer c
+    LEFT JOIN orders o
+           ON o.o_custkey = c.c_custkey
+          AND o.o_orderpriority <> '5-LOW'
+    GROUP BY c.c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+_register_sql("sql_tpch_q13", _Q13_BODY)
+
+# Q15-shaped top supplier: revenue CTE reused twice — once as the
+# join input, once under MAX() — with integer-scaled revenue so the
+# max-equality selection is engine-exact.
+_Q15_BODY = """
+WITH revenue AS (
+    SELECT l.l_suppkey AS supplier_no,
+           CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(38,6))) * 10000 AS BIGINT) AS total_revenue_u
+    FROM lineitem l
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+    GROUP BY l.l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue_u
+FROM supplier s
+JOIN revenue r ON r.supplier_no = s.s_suppkey
+WHERE r.total_revenue_u = (SELECT MAX(total_revenue_u) FROM revenue)
+"""
+
+_register_sql("sql_tpch_q15", _Q15_BODY)
+
+# Q16-shaped supplier-count report: NOT IN anti-subquery on the
+# supplier dim + COUNT(DISTINCT) per part attribute triple, with
+# lineitem standing in for partsupp as the part↔supplier relation.
+_Q16_BODY = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part p
+JOIN lineitem l ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> 'Brand#3'
+  AND p.p_type NOT LIKE 'MEDIUM%'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+_register_sql("sql_tpch_q16", _Q16_BODY)
+
+# Q17-shaped small-quantity revenue: the correlated AVG subquery per
+# part (quantities are integral doubles -> the 0.2*AVG threshold is
+# bit-identical across engines), with the final avg-yearly division
+# done integer-scaled via the div/'//' twin.
+_Q17_BODY = """
+SELECT CAST(CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                     AS DECIMAL(38,6))) * 100 AS BIGINT) * 10 {div} 7
+            AS BIGINT) AS avg_yearly_u,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#5'
+  AND l.l_quantity < (
+      SELECT 0.2 * AVG(l2.l_quantity)
+      FROM lineitem l2
+      WHERE l2.l_partkey = p.p_partkey
+  )
+"""
+
+_register_sql(
+    "sql_tpch_q17",
+    _Q17_BODY.format(div="div"),
+    _Q17_BODY.format(div="//"),
+)
+
+# Q20-shaped part-promotion suppliers: the nested IN-inside-IN shape —
+# suppliers (in one nation) who moved enough volume of small-named
+# parts in a year. GROUP/HAVING inside the inner membership set.
+_Q20_BODY = """
+SELECT s.s_name, s.s_suppkey
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE n.n_name = 'NATION_1'
+  AND s.s_suppkey IN (
+      SELECT l.l_suppkey
+      FROM lineitem l
+      WHERE l.l_partkey IN (
+          SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+      )
+        AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l.l_suppkey
+      HAVING SUM(l.l_quantity) > 50
+  )
+"""
+
+_register_sql("sql_tpch_q20", _Q20_BODY)
+
+# Q21-shaped waiting-supplier count: the EXISTS + NOT EXISTS pair with
+# a non-equality correlated predicate (another supplier in the same
+# order / no OTHER supplier also flagged). l_returnflag='R' stands in
+# for receipt-after-commit lateness, o_orderstatus='F' as in spec.
+_Q21_BODY = """
+SELECT s.s_name, COUNT(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+JOIN nation n    ON n.n_nationkey = s.s_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_returnflag = 'R'
+  AND n.n_name = 'NATION_2'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey
+        AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey
+        AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_returnflag = 'R'
+  )
+GROUP BY s.s_name
+"""
+
+_register_sql("sql_tpch_q21", _Q21_BODY)
+
+# Q22-shaped global-sales opportunity: the anti join (customers with
+# no RECENT orders — every synthetic customer has at least one order
+# ever, so the lapse window keeps the result non-empty) gated by an
+# uncorrelated AVG-of-positive-balances
+# subquery. c_name's trailing digit stands in for the phone country
+# code ('Customer#000000042' -> '2'); the average is decimal-sum /
+# count like sql_correlated_subquery so the gate is engine-exact.
+_Q22_BODY = """
+SELECT cntrycode,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM (
+    SELECT SUBSTRING(c.c_name, 18, 1) AS cntrycode, c.c_acctbal
+    FROM customer c
+    WHERE SUBSTRING(c.c_name, 18, 1) IN ('1', '3', '5', '7', '9')
+      AND c.c_acctbal > (
+          SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(38,6)))
+                      AS DOUBLE) / COUNT(*)
+          FROM customer c2
+          WHERE c2.c_acctbal > 0.0
+            AND SUBSTRING(c2.c_name, 18, 1) IN ('1', '3', '5', '7', '9')
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+      )
+) cust
+GROUP BY cntrycode
+"""
+
+_register_sql("sql_tpch_q22", _Q22_BODY)

@@ -182,6 +182,11 @@ EMPTY_INPUT_QUERIES = [
     "dedup_paragraph_global", "agg_quantile_bound", "sql_tpch_q4",
     "dedup_url_canonical", "text_pii_scrub", "sample_stratified",
     "dedup_decontaminate",
+    # TPC-H completion set (q17 is agg-without-groupBy -> excluded
+    # like q6/q14; the rest group or project and must yield 0 rows)
+    "sql_tpch_q2", "sql_tpch_q8", "sql_tpch_q9", "sql_tpch_q11",
+    "sql_tpch_q13", "sql_tpch_q15", "sql_tpch_q16", "sql_tpch_q20",
+    "sql_tpch_q21", "sql_tpch_q22",
 ]
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..io import load_table
 from .dedup import CORPUS_SQL, _minhash_sql, corpus, dedup_minhash_lsh
 from .relational import QuerySpec
 
@@ -159,3 +160,112 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("size"),
         F.min("doc_id").alias("canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# host-graph PageRank
+# ---------------------------------------------------------------------------
+
+# The host link graph is synthesized deterministically from doc_id:
+# each doc's host is doc_id % PR_HOSTS, and it links to three affine
+# images of that host (the same construction style as the messy-URL /
+# PII synthesis in webtext.py — the oracle can rebuild the graph).
+# The affine maps are bijections mod the prime 97, so two explicit
+# gates plant the PageRank boundary shapes: hosts >= PR_SINK_MIN emit
+# no edges (sinks/dangling — rank leaks), and edges INTO hosts
+# divisible by PR_SOURCE_MOD are dropped (pure sources — teleport-only
+# rank). Self-loops are dropped too.
+PR_HOSTS = 97
+PR_EDGE_MAPS = ((7, 3), (3, 11), (5, 1))  # dst = (a*src + b) % PR_HOSTS
+PR_SINK_MIN = 90     # hosts >= this have no out-edges
+PR_SOURCE_MOD = 13   # hosts % this == 0 have no in-links
+PR_DAMPING = 0.85
+PR_ITERS = 20
+
+
+def host_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    h = F.pmod(F.col("doc_id"), F.lit(PR_HOSTS))
+    parts = [
+        docs.select(
+            h.alias("src"),
+            F.pmod(F.lit(a) * h + F.lit(b), F.lit(PR_HOSTS)).alias("dst"),
+        )
+        for a, b in PR_EDGE_MAPS
+    ]
+    edges = parts[0]
+    for p in parts[1:]:
+        edges = edges.unionByName(p)
+    return edges.where(
+        (F.col("src") != F.col("dst"))
+        & (F.col("src") < PR_SINK_MIN)
+        & (F.col("dst") % PR_SOURCE_MOD != 0)
+    ).distinct()
+
+
+@_register("pagerank_hosts")  # rows-only: iterative float fixpoint
+def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the synthesized host link graph — the classic
+    iterative graph workload (host authority scores feed crawl
+    prioritization and quality weighting in a web pipeline).
+
+    Per iteration: contributions = edges ⋈ out-degree ⋈ ranks (two
+    equi-joins on host id), one groupBy(dst) sum, then a left join
+    back onto the node set so hosts with no in-links keep the
+    teleport term. `localCheckpoint` per round truncates the logical
+    plan (the dedup_clusters lesson: persist alone lets the plan grow
+    unboundedly). Fixed PR_ITERS rounds — no per-iteration driver
+    sync at all (vs components' convergence count); the only driver
+    scalar is the one-off node count for the teleport constant.
+
+    Simple variant by design: dangling hosts' rank leaks (no
+    redistribution term), matching the textbook Spark formulation;
+    the numpy oracle in tests/test_components.py mirrors the same
+    recurrence exactly, so parity still pins the values. Driver check
+    is rows-only (float fixpoint is not cross-engine exact).
+
+    At scale: node and edge tables hash-partition on host id; each
+    round is two shuffles (contribution join, re-aggregation) over
+    edge-count rows — the standard distributed PageRank shape, no
+    driver-side loops over data."""
+    edges = host_link_edges(spark, sf_dir).persist()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # one scalar job (teleport constant), not a loop
+    if n == 0:
+        edges.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame([], "host bigint, rank double")
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    teleport = (1.0 - PR_DAMPING) / n
+    for _ in range(PR_ITERS):
+        contribs = (
+            edges.join(out_deg, "src")
+            .join(ranks, edges["src"] == ranks["host"])
+            .select(
+                F.col("dst").alias("host"),
+                (F.col("rank") / F.col("deg")).alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        ranks = (
+            nodes.join(contribs, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(teleport)
+                    + F.lit(PR_DAMPING)
+                    * F.coalesce("in_rank", F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -1,0 +1,307 @@
+"""Web-corpus quality operators, second batch (round 3): C4-style
+line filtering, Unicode NFC normalization, and TF-IDF top terms.
+
+These complete the extraction-side curation family in
+``operators/webtext.py`` (SURVEY.md §2 LLM-pipeline ops are
+first-class catalog entries):
+
+- **Line filtering** — the C4 recipe: split a page into lines, keep
+  only lines that end in terminal punctuation, have a minimum word
+  count, and don't match a boilerplate blocklist ("enable
+  javascript…"); pages are then re-assembled from surviving lines.
+- **Unicode normalization** — web text arrives in mixed normal forms
+  (decomposed accents from mac filesystems, composed from editors);
+  every serious pipeline canonicalizes to NFC before hashing or
+  tokenizing, otherwise byte-level dedup misses visually-identical
+  text.
+- **TF-IDF top terms** — the classic per-document keyword extraction:
+  term frequency re-weighted by global document frequency, top-k per
+  doc with a deterministic total-order tie-break.
+
+`documents.text` is space-separated tokens with no newlines or
+punctuation (TESTDATA.md), so — exactly like the paragraph/PII/URL
+operators in webtext.py — the messy input (line breaks, missing
+punctuation, boilerplate lines, decomposed accents) is synthesized
+DETERMINISTICALLY from doc_id, letting the DuckDB oracle rebuild the
+byte-identical input and re-apply the identical rules.
+
+Scale notes (100 TB / 1000 executors):
+
+- `text_line_filter` is map-only: one `transform` builds the line
+  array, one `filter` applies the rules, no explode, no shuffle —
+  whole-stage codegen end to end.
+- `text_normalize_unicode` is the ONE operator here that needs
+  Python (the JVM has no NFC builtin): a vectorized
+  `Series.str.normalize("NFC")` pandas UDF — Arrow-batched, map-only,
+  no shuffle; at 10^12 rows it scales linearly with executors.
+- `text_tfidf_topterms` shuffles twice by necessity (per-(doc,term)
+  tf, then per-term df) — both hash aggregations partial-aggregate
+  map-side. The df side is vocabulary-sized (≪ corpus), so AQE
+  broadcasts the join back; the final top-k window repartitions by
+  doc_id only.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .relational import QuerySpec
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, sql=None):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# C4-style line filtering
+# ---------------------------------------------------------------------------
+
+LINE_TOKENS = 6     # tokens per synthesized line
+MIN_LINE_WORDS = 5  # C4 keeps lines with >= 5 words
+BOILER = "please enable javascript and cookies to continue"
+_BP_MOD = 5         # every 5th (doc_id+i) line is boilerplate
+_NOPUNCT_MOD = 7    # every 7th lacks terminal punctuation
+
+# Synthesis: the token array is re-lined into LINE_TOKENS-token lines;
+# line i of doc d becomes boilerplate when (d+i)%5==0, else it keeps
+# its text and gains a terminal '.' unless (d+i)%7==0. The final line
+# is naturally short (< MIN_LINE_WORDS) for most docs, exercising the
+# word-count rule organically. Keep rule (C4): terminal '.', >= 5
+# words, no 'javascript' in the line.
+
+_LINE_DUCK = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+    FROM documents
+),
+lined AS (
+    SELECT doc_id,
+           list_transform(
+               range(0, (len(l) + {LINE_TOKENS - 1}) // {LINE_TOKENS}),
+               i -> CASE WHEN (doc_id + i) % {_BP_MOD} = 0
+                         THEN '{BOILER}.'
+                         ELSE array_to_string(
+                                  l[i * {LINE_TOKENS} + 1 :
+                                    i * {LINE_TOKENS} + {LINE_TOKENS}], ' ')
+                              || CASE WHEN (doc_id + i) % {_NOPUNCT_MOD} = 0
+                                      THEN '' ELSE '.' END
+                    END) AS ls
+    FROM toks
+),
+kept AS (
+    SELECT doc_id, len(ls) AS n_lines,
+           list_filter(ls, ln -> ends_with(ln, '.')
+                                 AND len(string_split(ln, ' '))
+                                     >= {MIN_LINE_WORDS}
+                                 AND NOT contains(ln, 'javascript')) AS ks
+    FROM lined
+)
+SELECT doc_id,
+       CAST(n_lines AS BIGINT) AS n_lines,
+       CAST(len(ks) AS BIGINT) AS n_kept,
+       -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+       -- array_join([]) is '' — pin the empty page to md5('')
+       md5(coalesce(array_to_string(ks, chr(10)), '')) AS kept_md5
+FROM kept
+"""
+
+
+@_register("text_line_filter", _LINE_DUCK)
+def text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line filtering: pages are split into lines
+    (synthesized deterministically from doc_id — boilerplate lines,
+    missing terminal punctuation, and a short trailing line are all
+    planted so every rule fires at any sf), lines failing the keep
+    rules (terminal '.', >= 5 words, no 'javascript') are dropped,
+    and the surviving page is re-assembled in order (md5-digested).
+
+    Map-only plan: one `transform` builds the line array, one
+    `filter` applies the rules — no explode, no shuffle, whole-stage
+    codegen end to end; at 10^12 pages this is a pure scan-side pass.
+    FULL oracle: DuckDB re-synthesizes the identical lines and
+    re-applies the identical rules."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("l")
+    )
+    # size(l) >= 1 always (split('') == ['']), so nlines >= 1 and the
+    # sequence below never runs backwards.
+    nlines = F.expr(f"(size(l) + {LINE_TOKENS - 1}) div {LINE_TOKENS}")
+    d = F.col("doc_id")
+    lines = F.transform(
+        F.sequence(F.lit(0), nlines - 1),
+        lambda i: F.when(
+            (d + i) % _BP_MOD == 0, F.lit(BOILER + ".")
+        ).otherwise(
+            F.concat(
+                F.array_join(
+                    F.slice("l", i * LINE_TOKENS + 1, LINE_TOKENS), " "
+                ),
+                F.when((d + i) % _NOPUNCT_MOD == 0, F.lit("")).otherwise(
+                    F.lit(".")
+                ),
+            )
+        ),
+    )
+    kept = F.filter(
+        lines,
+        lambda ln: ln.endswith(".")
+        & (F.size(F.split(ln, " ", -1)) >= MIN_LINE_WORDS)
+        & ~ln.contains("javascript"),
+    )
+    return toks.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.array_join(kept, "\n")).alias("kept_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization
+# ---------------------------------------------------------------------------
+
+# Decomposed (NFD-ish) and composed twins — kept as explicit escapes
+# so the source file stays ASCII. DuckDB's nfc_normalize and Python's
+# unicodedata.normalize('NFC', ...) agree byte-for-byte (verified in
+# tests), which is what makes the md5 oracle possible.
+DECOMPOSED = "cafe\u0301 u\u0308ber re\u0301sume\u0301"
+COMPOSED = "caf\u00e9 \u00fcber r\u00e9sum\u00e9"  # == NFC(DECOMPOSED)
+
+_NFC_DUCK = f"""
+WITH dirty AS (
+    SELECT doc_id,
+           text || CASE WHEN doc_id % 3 = 0 THEN ' {DECOMPOSED}'
+                        WHEN doc_id % 3 = 1 THEN ' {COMPOSED}'
+                        ELSE '' END AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(length(t) AS BIGINT) AS n_cp_dirty,
+       CAST(length(nfc_normalize(t)) AS BIGINT) AS n_cp_norm,
+       nfc_normalize(t) <> t AS changed,
+       md5(nfc_normalize(t)) AS norm_md5
+FROM dirty
+"""
+
+
+def _nfc_udf():
+    # Built lazily: F.pandas_udf needs an active SparkSession, so a
+    # module-level decorator would break catalog import order.
+    def _nfc(s: pd.Series) -> pd.Series:
+        # Vectorized NFC — pandas' .str.normalize wraps unicodedata
+        # per block without a Python-level row loop.
+        return s.str.normalize("NFC")
+
+    return F.pandas_udf(_nfc, "string")
+
+
+@_register("text_normalize_unicode", _NFC_DUCK)
+def text_normalize_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization — the canonicalization pass run
+    before any hashing/dedup so that composed and decomposed accent
+    sequences (visually identical, byte-different) collapse. Mixed
+    normal forms are injected deterministically from doc_id: every
+    3rd doc gains decomposed accents (changed=true under NFC), the
+    next gets the composed twin (already NFC), the rest stay ASCII.
+
+    The JVM has no NFC builtin, so this is the designed slow-path
+    shape: ONE Arrow-batched vectorized pandas UDF
+    (`Series.str.normalize`), map-only, no shuffle — the codepoint
+    counts and changed flag are JVM-side. FULL oracle: DuckDB
+    injects the same text and normalizes with `nfc_normalize` (agrees
+    byte-for-byte with Python's unicodedata; md5 pins it)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.when(F.col("doc_id") % 3 == 0, F.lit(" " + DECOMPOSED))
+            .when(F.col("doc_id") % 3 == 1, F.lit(" " + COMPOSED))
+            .otherwise(F.lit("")),
+        ).alias("t"),
+    )
+    norm = _nfc_udf()(F.col("t"))
+    return dirty.select(
+        "doc_id",
+        F.length("t").cast("long").alias("n_cp_dirty"),
+        F.length(norm).cast("long").alias("n_cp_norm"),
+        (norm != F.col("t")).alias("changed"),
+        F.md5(norm).alias("norm_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+TOPK_TERMS = 3
+
+_TFIDF_DUCK = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, count(*) AS df FROM tf GROUP BY term
+),
+ranked AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           row_number() OVER (PARTITION BY tf.doc_id
+                              ORDER BY tf.tf DESC, df.df ASC, tf.term ASC)
+               AS rank
+    FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term,
+       CAST(tf AS BIGINT) AS tf,
+       CAST(df AS BIGINT) AS df,
+       CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {TOPK_TERMS}
+"""
+
+
+@_register("text_tfidf_topterms", _TFIDF_DUCK)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: top-3 terms per doc
+    ranked by term frequency, with global document frequency as the
+    idf-style tie-break (rarer wins) and the term string as the final
+    deterministic tie-break — an integer-only total order, so the
+    result is engine-exact with no float idf anywhere.
+
+    Scale shape: explode → per-(doc,term) tf (map-side combine
+    collapses within-split duplicates BEFORE the exchange, so the
+    shuffle carries distinct doc-term rows, not token counts) →
+    per-term df over the already-collapsed tf table (vocabulary-sized
+    output). The df⋈tf join back is vocabulary-vs-corpus — AQE
+    broadcasts the small side at any realistic vocabulary. The final
+    top-k is one window partitioned by doc_id. FULL oracle: DuckDB
+    re-derives tf/df and ranks with the identical total order."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
+    )
+    return (
+        tf.join(df_, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOPK_TERMS)
+        .select("doc_id", "term", "tf", "df", F.col("rank").cast("long").alias("rank"))
+    )

@@ -187,6 +187,10 @@ EMPTY_INPUT_QUERIES = [
     "sql_tpch_q2", "sql_tpch_q8", "sql_tpch_q9", "sql_tpch_q11",
     "sql_tpch_q13", "sql_tpch_q15", "sql_tpch_q16", "sql_tpch_q20",
     "sql_tpch_q21", "sql_tpch_q22",
+    # second web-quality batch + host PageRank (pagerank's empty-input
+    # early return keeps the real schema)
+    "text_line_filter", "text_normalize_unicode", "text_tfidf_topterms",
+    "pagerank_hosts",
 ]
 
 

@@ -45,15 +45,16 @@ PRIORITY: tuple[str, ...] = (
     "ref_element_metadata",
     "ref_changeset_metadata",
     "ref_user_features",
-    "ref_editor_topk",
     # -- anchor: the portable lineage checksum (one r2 grade) --
     "lineage_checksum_portable",
     # -- second web-quality batch (this session, never driver-graded;
     # displaces pages_text_extract / pca_project_fixed /
-    # kmeans_assign_fixed, each r2-green + pytest-gated) --
+    # kmeans_assign_fixed / ref_editor_topk, each r2-green +
+    # pytest-gated) --
     "text_line_filter",
     "text_normalize_unicode",
     "text_tfidf_topterms",
+    "text_rarity_score",
     # -- round-3 additions already slotted, never yet driver-graded --
     "sql_tpch_q5",
     "sql_tpch_q18",

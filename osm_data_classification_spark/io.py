@@ -277,6 +277,62 @@ def cluster_write(
     )
 
 
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Bin-pack small-file compaction — the local emulation of
+    Iceberg's ``rewrite_data_files`` maintenance action (SURVEY.md
+    §4.1). Streaming sinks and fine-grained upserts leave a table as
+    thousands of tiny parquet files; at 100 TB that is the classic
+    small-file problem (every file is a scan task + a name-node entry
+    + a footer fetch). Compaction reads the fragmented table and
+    rewrites it as ``ceil(total_bytes / target_bytes)`` files.
+
+    Scale shape: ``coalesce`` (NOT ``repartition``) — pure bin-packing
+    merges input splits without a shuffle, exactly like Iceberg's
+    bin-pack strategy; a 100-TB compaction moves every byte once,
+    map-only. The rewrite goes to a temp dir then swaps in atomically
+    (same protocol as :func:`upsert`), so readers never observe a
+    half-compacted table. Returns before/after stats; content
+    equality is checksum-gated in tests/test_layout.py via
+    :func:`table_checksum` (order-insensitive, so the merge order of
+    coalesce cannot matter)."""
+    import math
+    import shutil
+    import uuid
+
+    def _data_files(p):
+        out = []
+        for root, _dirs, files in os.walk(p):
+            out.extend(
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith("_")
+            )
+        return out
+
+    before = _data_files(path)
+    bytes_before = sum(os.path.getsize(f) for f in before)
+    n_target = max(1, math.ceil(bytes_before / target_bytes))
+    df = spark.read.parquet(path)
+    tmp = os.path.join(
+        os.path.dirname(path.rstrip("/")),
+        f"_compact_{uuid.uuid4().hex[:8]}",
+    )
+    df.coalesce(n_target).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.replace(tmp, path)
+    after = _data_files(path)
+    return {
+        "files_before": len(before),
+        "files_after": len(after),
+        "bytes_before": bytes_before,
+        "bytes_after": sum(os.path.getsize(f) for f in after),
+    }
+
+
 # ---------------------------------------------------------------------------
 # CSV / JSON checkpoint formats (SURVEY.md §2.1 S2)
 #

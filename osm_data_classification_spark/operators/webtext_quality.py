@@ -305,3 +305,110 @@ def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOPK_TERMS)
         .select("doc_id", "term", "tf", "df", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-level token rarity score
+# ---------------------------------------------------------------------------
+
+RARE_MAX = 3  # a token with corpus-wide count <= this is "rare"
+
+# The synthetic corpus has a 31-token vocabulary with every token
+# appearing ≥26 times at any sf, so the rare/hapax branches would be
+# dead code against raw `text`. Rare tokens are therefore planted
+# deterministically from doc_id (the standard webtext.py synthesis
+# move): every 7th doc gains a doc-unique token `xh<doc_id>` (a hapax,
+# gcnt=1) and every 5th gains `xr<doc_id div 10>` — multiples of 5
+# within a div-10 block are exactly {10k, 10k+5}, so each xr token has
+# gcnt exactly 2 ≤ RARE_MAX at every sf.
+
+_RARITY_DUCK = f"""
+WITH dirty AS (
+    SELECT doc_id,
+           trim(text)
+           || CASE WHEN doc_id % 7 = 0 THEN ' xh' || doc_id ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN ' xr' || (doc_id // 10)
+                   ELSE '' END AS t
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS term FROM dirty
+),
+gtf AS (
+    SELECT term, count(*) AS gcnt FROM toks GROUP BY term
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN gcnt <= {RARE_MAX} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_rare,
+       CAST(sum(CASE WHEN gcnt = 1 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hapax,
+       CAST(min(gcnt) AS BIGINT) AS min_gcnt,
+       CAST((1000000 * sum(CASE WHEN gcnt <= {RARE_MAX} THEN 1 ELSE 0 END))
+            // count(*) AS BIGINT) AS rarity_ppm
+FROM toks JOIN gtf USING (term)
+GROUP BY doc_id
+"""
+
+
+def rarity_dirty_text(doc_id, text):
+    """The planted-rare-token synthesis as Columns (shared by the
+    operator and its tests)."""
+    return F.concat(
+        F.trim(text),
+        F.when(doc_id % 7 == 0, F.concat(F.lit(" xh"), doc_id)).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            doc_id % 5 == 0,
+            F.concat(F.lit(" xr"), (doc_id / 10).cast("long")),
+        ).otherwise(F.lit("")),
+    )
+
+
+@_register("text_rarity_score", _RARITY_DUCK)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token rarity per document — the integer-exact
+    proxy for CCNet's LM-perplexity bucket: documents dominated by
+    corpus-rare tokens (gibberish, boilerplate hashes, OCR noise)
+    score high and get routed to the low-quality bucket. A float LM
+    score can't be cross-engine exact; occurrence counts against the
+    corpus-wide unigram table can, so the driver gets a full value
+    hash (rarity_ppm uses integer div — both engines truncate).
+
+    Scale shape: explode → corpus-wide unigram counts (map-side
+    partial agg collapses within-split duplicates, the exchange
+    carries the vocabulary, not the token stream) → join back
+    (vocabulary vs corpus: AQE broadcasts the counts side at any
+    realistic vocabulary) → one groupBy(doc_id). The unigram table is
+    the reusable artifact — at 100 TB it is computed once and
+    broadcast to every downstream quality pass."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.split(rarity_dirty_text(F.col("doc_id"), F.col("text")), r"\s+")
+        ).alias("term"),
+    )
+    gtf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("gcnt"))
+    rare = F.when(F.col("gcnt") <= RARE_MAX, 1).otherwise(0)
+    return (
+        toks.join(gtf, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(rare).alias("n_rare"),
+            F.sum(F.when(F.col("gcnt") == 1, 1).otherwise(0)).alias(
+                "n_hapax"
+            ),
+            F.min("gcnt").alias("min_gcnt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_rare",
+            "n_hapax",
+            "min_gcnt",
+            F.expr("(1000000 * n_rare) div n_tokens").alias("rarity_ppm"),
+        )
+    )

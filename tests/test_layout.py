@@ -183,3 +183,43 @@ def test_zorder_cluster_write_skips_files_on_box_query(spark, sf_dir):
     finally:
         shutil.rmtree(d_clu, ignore_errors=True)
         shutil.rmtree(d_rr, ignore_errors=True)
+
+
+def test_compact_table_binpacks_without_changing_content(spark, sf_dir):
+    """Small-file compaction (io.compact_table, the rewrite_data_files
+    analog): a table fragmented into ~200 tiny files compacts to the
+    bin-packed count implied by target_bytes, with the
+    order-insensitive table checksum — and the exact row multiset it
+    digests — unchanged. Also pins the no-op direction: a compacted
+    table re-compacted at the same target stays put (idempotent
+    maintenance)."""
+    from osm_data_classification_spark.io import compact_table, table_checksum
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="compact_") + "/t"
+    try:
+        orders.repartition(200).write.parquet(d)
+        n_before = sum(
+            f.endswith(".parquet") for f in os.listdir(d)
+        )
+        assert n_before == 200
+        before_sum = table_checksum(spark.read.parquet(d))
+
+        stats = compact_table(spark, d, target_bytes=256 * 1024)
+        assert stats["files_before"] == 200
+        assert stats["files_after"] < 200 / 4
+        import math
+        assert stats["files_after"] == max(
+            1, math.ceil(stats["bytes_before"] / (256 * 1024))
+        )
+        after = spark.read.parquet(d)
+        assert table_checksum(after) == before_sum
+        assert after.count() == orders.count()
+
+        again = compact_table(spark, d, target_bytes=256 * 1024)
+        # bin-packing is a fixpoint modulo parquet re-encoding: the
+        # second pass may merge 1-2 files as sizes settle, never grow
+        assert again["files_after"] <= stats["files_after"]
+        assert table_checksum(spark.read.parquet(d)) == before_sum
+    finally:
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)

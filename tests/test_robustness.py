@@ -190,7 +190,7 @@ EMPTY_INPUT_QUERIES = [
     # second web-quality batch + host PageRank (pagerank's empty-input
     # early return keeps the real schema)
     "text_line_filter", "text_normalize_unicode", "text_tfidf_topterms",
-    "pagerank_hosts",
+    "pagerank_hosts", "text_rarity_score",
 ]
 
 

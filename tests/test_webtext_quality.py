@@ -166,6 +166,51 @@ def test_tfidf_matches_pandas_oracle(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# token rarity
+# ---------------------------------------------------------------------------
+
+
+def test_rarity_matches_pandas_oracle(spark, sf_dir):
+    from collections import Counter
+
+    from osm_data_classification_spark.operators.webtext_quality import (
+        RARE_MAX,
+        text_rarity_score,
+    )
+
+    def dirty(doc_id, text):
+        t = text.strip()
+        if doc_id % 7 == 0:
+            t += f" xh{doc_id}"
+        if doc_id % 5 == 0:
+            t += f" xr{doc_id // 10}"
+        return t
+
+    pdf = _docs_pdf(spark, sf_dir)
+    gtf = Counter()
+    for _, row in pdf.iterrows():
+        gtf.update(dirty(row.doc_id, row.text).split())
+    got = {r["doc_id"]: r for r in text_rarity_score(spark, sf_dir).collect()}
+    assert len(got) == len(pdf)
+    any_rare = any_hapax = False
+    for _, row in pdf.iterrows():
+        toks = dirty(row.doc_id, row.text).split()
+        n_rare = sum(1 for t in toks if gtf[t] <= RARE_MAX)
+        n_hapax = sum(1 for t in toks if gtf[t] == 1)
+        g = got[row.doc_id]
+        assert g["n_tokens"] == len(toks)
+        assert g["n_rare"] == n_rare
+        assert g["n_hapax"] == n_hapax
+        assert g["min_gcnt"] == min(gtf[t] for t in toks)
+        assert g["rarity_ppm"] == (1_000_000 * n_rare) // len(toks)
+        any_rare = any_rare or n_rare > 0
+        any_hapax = any_hapax or n_hapax > 0
+    # the planted tokens must actually exercise both branches (the raw
+    # corpus has a 31-token vocab where every token appears >= 26x)
+    assert any_rare and any_hapax
+
+
+# ---------------------------------------------------------------------------
 # host PageRank
 # ---------------------------------------------------------------------------
 

@@ -118,7 +118,7 @@ def full_catalog() -> dict[str, QuerySpec]:
     for modname in ("dedup", "text", "similarity", "geo_queries", "ml_queries",
                     "multimodal", "ref_features", "skew_queries", "grouped",
                     "sql_surface", "temporal", "components", "webtext",
-                    "webtext_quality"):
+                    "webtext_quality", "training_prep"):
         mod = __import__(
             f"osm_data_classification_spark.operators.{modname}",
             fromlist=["CATALOG"],

@@ -1,0 +1,198 @@
+"""Training-data preparation operators: token chunking and sequence
+packing — the last mile between a curated corpus and a training run
+(SURVEY.md §2 LLM-pipeline ops are first-class catalog entries).
+
+- **Token chunking** — split each document's token stream into
+  fixed-size overlapping windows (context-window shingling): chunk i
+  covers tokens [i*STRIDE, i*STRIDE + CHUNK). The standard prep step
+  before embedding or pretraining when documents exceed the model's
+  context length.
+- **Sequence packing** — the concat-and-split packing used by
+  pretraining dataloaders: documents are concatenated in a canonical
+  order (doc_id) into one logical token stream and cut into CTX-token
+  packs; each document reports the pack its first token lands in and
+  its offset within the stream. The global token offset is a prefix
+  sum — computed here with the two-level DISTRIBUTED prefix-sum
+  pattern, not a single-partition window.
+
+Both are integer-exact (counts, offsets, md5 of joined tokens), so
+the driver gets full value hashes.
+
+Scale notes (100 TB / 1000 executors):
+
+- `text_chunk_tokens` is map-only until the terminal posexplode —
+  transform over a sequence builds the chunk array inside codegen,
+  no shuffle anywhere; output rows ~= tokens/STRIDE.
+- `sample_pack_sequences` must NOT be written as
+  `SUM(n) OVER (ORDER BY doc_id)` — a global-order window collapses
+  the corpus onto ONE task. The two-level shape: an exclusive cumsum
+  within each doc_id-range bucket (bounded window partitions), bucket
+  totals (one tiny agg), an exclusive cumsum over the bucket totals,
+  and a broadcast join adding the bucket offset back. At 10^12 docs
+  the bucket-totals level is itself bucketable — the pattern nests to
+  O(log) levels; two levels suffice through ~10^9 buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from .relational import QuerySpec
+
+CATALOG: dict[str, QuerySpec] = {}
+
+
+def _register(name: str, sql=None):
+    def deco(fn):
+        CATALOG[name] = QuerySpec(fn, sql)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# token chunking
+# ---------------------------------------------------------------------------
+
+CHUNK = 32   # tokens per chunk
+STRIDE = 24  # chunk start spacing (CHUNK - STRIDE = 8-token overlap)
+
+_CHUNK_DUCK = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+    FROM documents
+),
+ids AS (
+    SELECT doc_id, l,
+           unnest(range(0, (len(l) + {STRIDE - 1}) // {STRIDE})) AS chunk_id
+    FROM toks
+)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(len(l[chunk_id * {STRIDE} + 1 : chunk_id * {STRIDE} + {CHUNK}])
+            AS BIGINT) AS chunk_len,
+       md5(array_to_string(
+           l[chunk_id * {STRIDE} + 1 : chunk_id * {STRIDE} + {CHUNK}], ' '))
+           AS chunk_md5
+FROM ids
+"""
+
+
+@_register("text_chunk_tokens", _CHUNK_DUCK)
+def text_chunk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride overlapping token chunking: chunk i of a document
+    covers tokens [i*STRIDE, i*STRIDE+CHUNK) — a 32-token window every
+    24 tokens (8-token overlap), the context-window shingling run
+    before embedding long documents. The trailing chunk is naturally
+    short, exercising the partial-window path at every sf.
+
+    Map-only until the terminal posexplode: the chunk array is built
+    by `transform` over a `sequence` inside whole-stage codegen — no
+    shuffle at any scale; the md5 digests each chunk so the value
+    hash pins exact chunk CONTENT, not just counts. FULL oracle:
+    DuckDB rebuilds the chunks with 1-based inclusive list slices."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("l")
+    )
+    # size(l) >= 1 always (split('') == ['']) so n_chunks >= 1 and
+    # every start i*STRIDE < size(l) by construction of the ceil.
+    nch = F.expr(f"(size(l) + {STRIDE - 1}) div {STRIDE}")
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.slice("l", i * STRIDE + 1, CHUNK),
+    )
+    return toks.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_id", "c")
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("c").cast("long").alias("chunk_len"),
+        F.md5(F.array_join("c", " ")).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+CTX = 256          # tokens per training pack
+PACK_BUCKET = 64   # doc_ids per prefix-sum bucket (small here so the
+                   # two-level path is genuinely exercised at sf0.001)
+
+_PACK_DUCK = f"""
+WITH counted AS (
+    SELECT doc_id,
+           len(string_split_regex(trim(text), '\\s+')) AS n_tokens
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens
+            AS BIGINT) AS start_tok,
+       CAST((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) // {CTX}
+            AS BIGINT) AS pack_id,
+       CAST((sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens) % {CTX}
+            AS BIGINT) AS pack_offset
+FROM counted
+"""
+
+
+@_register("sample_pack_sequences", _PACK_DUCK)
+def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: documents are concatenated
+    in doc_id order into one logical token stream cut into CTX-token
+    packs; each doc reports its global token offset, the pack its
+    first token lands in, and its offset inside that pack.
+
+    The offset is an EXCLUSIVE prefix sum over the corpus — the
+    one-line `SUM() OVER (ORDER BY doc_id)` formulation (which the
+    DuckDB oracle uses, single-node engines don't care) would funnel
+    10^12 rows through ONE window task on Spark. This implementation
+    is the distributed two-level prefix sum instead: (1) exclusive
+    cumsum within each doc_id-range bucket — the window partitions on
+    bucket, so tasks stay bounded; (2) bucket totals via one tiny
+    aggregation; (3) exclusive cumsum over the bucket-totals table
+    (bucket-count rows, vocabulary-small; nest another level at
+    10^12 docs); (4) broadcast join adds each bucket's offset back.
+    No stage ever sees more than a bucket in one window frame.
+    Integer-exact throughout — full value oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    counted = docs.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias(
+            "n_tokens"
+        ),
+        (F.col("doc_id") / PACK_BUCKET).cast("long").alias("bucket"),
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    within = counted.withColumn(
+        "local_start", F.sum("n_tokens").over(w_in) - F.col("n_tokens")
+    )
+    totals = counted.groupBy("bucket").agg(
+        F.sum("n_tokens").alias("btot")
+    )
+    w_b = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = totals.withColumn(
+        "boffset", F.sum("btot").over(w_b) - F.col("btot")
+    ).select("bucket", "boffset")
+    start = F.col("boffset") + F.col("local_start")
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            start.alias("start_tok"),
+            F.expr(f"(boffset + local_start) div {CTX}").alias("pack_id"),
+            F.pmod(start, F.lit(CTX)).cast("long").alias("pack_offset"),
+        )
+    )

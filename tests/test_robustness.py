@@ -191,6 +191,9 @@ EMPTY_INPUT_QUERIES = [
     # early return keeps the real schema)
     "text_line_filter", "text_normalize_unicode", "text_tfidf_topterms",
     "pagerank_hosts", "text_rarity_score",
+    # training prep: chunking explodes to zero rows on zero docs; packing's
+    # windows are empty-safe
+    "text_chunk_tokens", "sample_pack_sequences",
 ]
 
 

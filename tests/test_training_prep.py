@@ -1,0 +1,88 @@
+"""Training-prep operators (training_prep.py) vs independent
+python/pandas oracles — the DuckDB gate checks the values; these pin
+the kernels against a second formulation so twin bugs can't hide."""
+
+from __future__ import annotations
+
+import hashlib
+
+from osm_data_classification_spark.operators.training_prep import (
+    CHUNK,
+    CTX,
+    PACK_BUCKET,
+    STRIDE,
+    sample_pack_sequences,
+    text_chunk_tokens,
+)
+
+
+def _docs(spark, sf_dir):
+    return (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+    )
+
+
+def test_chunking_matches_python_oracle(spark, sf_dir):
+    got = {}
+    for r in text_chunk_tokens(spark, sf_dir).collect():
+        got[(r["doc_id"], r["chunk_id"])] = (r["chunk_len"], r["chunk_md5"])
+    pdf = _docs(spark, sf_dir)
+    n_expected = 0
+    saw_short = saw_overlap = False
+    for _, row in pdf.iterrows():
+        toks = row.text.strip().split()
+        n_chunks = (len(toks) + STRIDE - 1) // STRIDE
+        n_expected += n_chunks
+        for i in range(n_chunks):
+            c = toks[i * STRIDE : i * STRIDE + CHUNK]
+            md5 = hashlib.md5(" ".join(c).encode()).hexdigest()
+            assert got[(row.doc_id, i)] == (len(c), md5), (row.doc_id, i)
+            saw_short = saw_short or len(c) < CHUNK
+        saw_overlap = saw_overlap or n_chunks > 1
+    assert len(got) == n_expected
+    # the corpus must exercise both the partial trailing chunk and
+    # the multi-chunk overlap path
+    assert saw_short and saw_overlap
+
+
+def test_packing_matches_single_window_oracle(spark, sf_dir):
+    """The distributed two-level prefix sum must equal the one-line
+    global-window formulation — and the test sf must span multiple
+    buckets, or the bucket-offset join was never exercised."""
+    pdf = _docs(spark, sf_dir)
+    pdf["n"] = pdf.text.str.strip().str.split().str.len()
+    pdf["start"] = pdf.n.cumsum() - pdf.n
+    assert pdf.doc_id.max() // PACK_BUCKET >= 2, "need >= 3 buckets"
+    got = {
+        r["doc_id"]: r for r in sample_pack_sequences(spark, sf_dir).collect()
+    }
+    assert len(got) == len(pdf)
+    multi_pack = False
+    for _, row in pdf.iterrows():
+        g = got[row.doc_id]
+        assert g["n_tokens"] == row.n
+        assert g["start_tok"] == row.start
+        assert g["pack_id"] == row.start // CTX
+        assert g["pack_offset"] == row.start % CTX
+        multi_pack = multi_pack or g["pack_id"] > 0
+    assert multi_pack
+    # packs are dense: every pack id up to the max must be hit by some
+    # doc start or be fully covered by a long document spanning it
+    total = int(pdf.n.sum())
+    assert max(g["pack_id"] for g in got.values()) == (total - int(pdf.n.iloc[-1])) // CTX
+
+
+def test_packing_windows_are_bucket_partitioned(spark, sf_dir):
+    """Scale gate: the corpus-sized window must partition on bucket
+    (hash exchange), never run the whole table through a single
+    partition — only the tiny bucket-totals window may be global."""
+    from osm_data_classification_spark.plans import audit
+
+    df = sample_pack_sequences(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    # exactly one SinglePartition exchange (the bucket-totals level)
+    assert plan.count("SinglePartition") == 1, plan
+    assert "hashpartitioning(bucket" in plan, plan

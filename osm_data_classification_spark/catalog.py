@@ -42,9 +42,12 @@ PRIORITY: tuple[str, ...] = (
     "geo_knn_join_exact",
     "geo_tile_agg",
     "rollup_res_ladder",
-    "ref_element_metadata",
-    "ref_changeset_metadata",
     "ref_user_features",
+    # -- training-prep pair (this session; displaces the r2-green
+    # ref_element_metadata / ref_changeset_metadata, pytest-gated and
+    # transitively covered by ref_user_features' chain) --
+    "text_chunk_tokens",
+    "sample_pack_sequences",
     # -- anchor: the portable lineage checksum (one r2 grade) --
     "lineage_checksum_portable",
     # -- second web-quality batch (this session, never driver-graded;

@@ -453,3 +453,84 @@ def geo_travel_distance(spark: SparkSession, sf_dir: str) -> DataFrame:  # oracl
         F.round(F.sum("hop_km"), 3).alias("travel_km"),
         F.count(F.lit(1)).alias("n_pages"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quadkey string encoding (hierarchical-prefix gate)
+# ---------------------------------------------------------------------------
+
+QK_RES = 12       # Bing-style quadkey level rendered per page
+QK_COARSE = 5     # independently-derived coarse key for the prefix gate
+
+
+def _qk_digits_sql(x: str, y: str, res: int) -> str:
+    # base-4 digit at bit b (MSB first): 2*y_bit + x_bit — the string
+    # rendering of the same Morton interleave CELL_SQL packs into the
+    # int64 id, so cells sharing an id prefix share a quadkey prefix.
+    return (
+        f"array_to_string(list_transform(range({res - 1}, -1, -1), "
+        f"b -> CAST(2 * (({y} >> b) & 1) + (({x} >> b) & 1) AS VARCHAR)"
+        f"), '')"
+    )
+
+
+def _quadkey_sql() -> str:
+    return f"""
+    WITH {PAGES_SQL},
+    xy AS (
+        SELECT url, warc_ts,
+               {X_SQL('lon', QK_RES)} AS x12, {Y_SQL('lat', QK_RES)} AS y12,
+               {X_SQL('lon', QK_COARSE)} AS x5, {Y_SQL('lat', QK_COARSE)} AS y5
+        FROM pages
+    )
+    SELECT url, warc_ts,
+           {_qk_digits_sql('x12', 'y12', QK_RES)} AS qk12,
+           {_qk_digits_sql('x5', 'y5', QK_COARSE)} AS qk5,
+           {_qk_digits_sql('x12', 'y12', QK_RES)}[1:{QK_COARSE}]
+               = {_qk_digits_sql('x5', 'y5', QK_COARSE)} AS prefix_ok
+    FROM xy
+    """
+
+
+def _qk_col(x, y, res: int):
+    """Quadkey as a JVM concat of per-level base-4 digits (MSB first)."""
+    return F.concat(
+        *[
+            (
+                F.shiftright(y, b).bitwiseAND(F.lit(1)) * 2
+                + F.shiftright(x, b).bitwiseAND(F.lit(1))
+            ).cast("string")
+            for b in range(res - 1, -1, -1)
+        ]
+    )
+
+
+@_register("geo_quadkey_encode", _quadkey_sql())
+def geo_quadkey_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 geo scalars: Bing-style quadkey strings — the string twin
+    of the Morton int64 cell id (geo/cells.py), used where tile ids
+    must be lexicographically prefix-comparable (tile-server URLs,
+    range scans over a key-value store keyed by tile). `prefix_ok`
+    is the hierarchical-containment invariant computed from TWO
+    independent floor paths: the res-12 digits truncated to 5 must
+    equal the digits of an independent res-5 floor (floor-of-floor
+    property) — a driver-graded hierarchy gate, not just a rendering.
+
+    Map-only plan: the floors and the 17 digit expressions are all
+    JVM bit arithmetic inside one codegen stage — no shuffle, no
+    Python. FULL oracle: DuckDB re-derives both floors and renders
+    the same digits."""
+    from ..geo.cells import xy_cols
+
+    pages = geocoded_pages(spark, sf_dir, res=7)
+    x12, y12 = xy_cols(F.col("lon"), F.col("lat"), QK_RES)
+    x5, y5 = xy_cols(F.col("lon"), F.col("lat"), QK_COARSE)
+    qk12 = _qk_col(x12, y12, QK_RES)
+    qk5 = _qk_col(x5, y5, QK_COARSE)
+    return pages.select(
+        "url",
+        "warc_ts",
+        qk12.alias("qk12"),
+        qk5.alias("qk5"),
+        (F.substring(qk12, 1, QK_COARSE) == qk5).alias("prefix_ok"),
+    )

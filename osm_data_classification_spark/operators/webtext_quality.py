@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 
 from ..io import load_table
 from .relational import QuerySpec
+from .text import STOPWORDS as _GOPHER_STOPWORDS
 
 CATALOG: dict[str, QuerySpec] = {}
 
@@ -411,4 +412,155 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_gcnt",
             F.expr("(1000000 * n_rare) div n_tokens").alias("rarity_ppm"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-rules composite quality filter
+# ---------------------------------------------------------------------------
+
+# Gopher's document-level quality rules (Rae et al. 2021, table A1),
+# integer-scaled so the verdict is engine-exact: word-count bounds,
+# mean-word-length bounds (x100), symbol-to-word ratio, fraction of
+# words with no alphabetic character, and a minimum stopword count.
+# documents.text is a clean 31-token vocabulary (TESTDATA.md), so the
+# symbol / non-alpha / long-token branches would be dead code against
+# raw text — the violations are PLANTED deterministically from doc_id
+# (the text_rarity_score lesson: a rule that never fires hides a twin
+# bug). First-match-wins per token, mirrored exactly in the oracle:
+#   1. doc_id % 37 == 0             -> first char only    (mwl < 3.0)
+#   2. doc_id % 31 == 0, token 0    -> repeat('x', 600)   (mwl > 10.0)
+#   3. doc_id % 29 == 0, i % 3 == 0 -> str(i)             (non-alpha > 0.2)
+#   4. doc_id % 41 == 0, i % 2 == 0 -> token || '#'       (symbol > 0.1)
+#   5. (doc_id + i) % 17 == 0       -> token || '#'       (sparse symbol)
+#   6. (doc_id + i) % 7  == 0       -> str(i)             (sparse non-alpha)
+# (1-4 are whole-doc blowouts on distinct doc classes; 5-6 are the
+# sparse per-token noise every doc carries. Without 1/3/4 the
+# mwl-lower-bound, non-alpha and symbol rules were DEAD at the test
+# scales — measured at sf0.001 and sf0.01.)
+_STOP_IN = ", ".join(f"'{w}'" for w in _GOPHER_STOPWORDS)
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO_X100 = 300   # mean word length in [3.0, 10.0]
+GOPHER_MWL_HI_X100 = 1000
+_SHORTDOC_MOD = 37
+_LONGTOK_MOD = 31
+_NUMDOC_MOD = 29
+_SYMDOC_MOD = 41
+_SYM_MOD = 17
+_NONALPHA_MOD = 7
+GOPHER_STOP_MIN = 2
+
+_GOPHER_DUCK = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+    FROM documents
+),
+planted AS (
+    SELECT doc_id,
+           list_transform(range(0, len(l)), i -> CASE
+               WHEN doc_id % {_SHORTDOC_MOD} = 0 THEN l[i + 1][1:1]
+               WHEN doc_id % {_LONGTOK_MOD} = 0 AND i = 0
+                   THEN repeat('x', 600)
+               WHEN doc_id % {_NUMDOC_MOD} = 0 AND i % 3 = 0
+                   THEN CAST(i AS VARCHAR)
+               WHEN doc_id % {_SYMDOC_MOD} = 0 AND i % 2 = 0
+                   THEN l[i + 1] || '#'
+               WHEN (doc_id + i) % {_SYM_MOD} = 0 THEN l[i + 1] || '#'
+               WHEN (doc_id + i) % {_NONALPHA_MOD} = 0
+                   THEN CAST(i AS VARCHAR)
+               ELSE l[i + 1] END) AS ts
+    FROM toks
+),
+m AS (
+    SELECT doc_id,
+           CAST(len(ts) AS BIGINT) AS n_words,
+           CAST(list_sum(list_transform(ts, t -> length(t)))
+                AS BIGINT) AS sum_len,
+           CAST(len(list_filter(ts, t -> contains(t, '#')))
+                AS BIGINT) AS n_symbol,
+           CAST(len(list_filter(ts, t -> NOT regexp_matches(t, '[a-z]')))
+                AS BIGINT) AS n_nonalpha,
+           CAST(len(list_filter(ts, t -> t IN ({_STOP_IN})))
+                AS BIGINT) AS n_stop
+    FROM planted
+)
+SELECT doc_id, n_words,
+       (sum_len * 100) // n_words AS mwl_x100,
+       n_symbol, n_nonalpha, n_stop,
+       (n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+        AND (sum_len * 100) // n_words
+            BETWEEN {GOPHER_MWL_LO_X100} AND {GOPHER_MWL_HI_X100}
+        AND n_symbol * 10 <= n_words
+        AND n_nonalpha * 5 < n_words
+        AND n_stop >= {GOPHER_STOP_MIN}) AS keep
+FROM m
+"""
+
+
+@_register("gopher_quality_filter", _GOPHER_DUCK)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-rules composite document filter: word-count bounds,
+    mean word length in [3,10] (x100 integer), symbol-to-word ratio
+    <= 0.1, non-alphabetic word fraction < 0.2, and >= 2 stopwords —
+    the doc-level complement to the line-level C4 recipe above. Every
+    rule fires at any sf: the word-count and stopword rules trip
+    organically (docs span 10-99 tokens), the symbol / non-alpha /
+    mean-length violations are planted deterministically from doc_id.
+
+    Map-only plan: one zip_with plants the violations, the metrics
+    are array HOF aggregates (aggregate/filter/size) — no explode, no
+    shuffle, whole-stage codegen end to end; at 10^12 pages this is a
+    pure scan-side pass emitting one verdict row per document. FULL
+    oracle: DuckDB re-plants and re-measures with identical integer
+    arithmetic (// and div both truncate toward zero on BIGINT)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d = F.col("doc_id")
+    toks = docs.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("l")
+    )
+    idx = F.sequence(F.lit(0), F.size("l") - 1)
+    ts = F.zip_with(
+        F.col("l"),
+        idx,
+        lambda t, i: F.when(d % _SHORTDOC_MOD == 0, t.substr(1, 1))
+        .when((d % _LONGTOK_MOD == 0) & (i == 0), F.lit("x" * 600))
+        .when((d % _NUMDOC_MOD == 0) & (i % 3 == 0), i.cast("string"))
+        .when((d % _SYMDOC_MOD == 0) & (i % 2 == 0), F.concat(t, F.lit("#")))
+        .when((d + i) % _SYM_MOD == 0, F.concat(t, F.lit("#")))
+        .when((d + i) % _NONALPHA_MOD == 0, i.cast("string"))
+        .otherwise(t),
+    )
+    m = toks.select(
+        "doc_id",
+        F.size(ts).cast("long").alias("n_words"),
+        F.aggregate(
+            ts, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        ).alias("sum_len"),
+        F.size(F.filter(ts, lambda t: t.contains("#")))
+        .cast("long")
+        .alias("n_symbol"),
+        F.size(F.filter(ts, lambda t: ~t.rlike("[a-z]")))
+        .cast("long")
+        .alias("n_nonalpha"),
+        F.size(F.filter(ts, lambda t: t.isin(*_GOPHER_STOPWORDS)))
+        .cast("long")
+        .alias("n_stop"),
+    )
+    mwl = F.expr("(sum_len * 100) div n_words")
+    keep = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & mwl.between(GOPHER_MWL_LO_X100, GOPHER_MWL_HI_X100)
+        & (F.col("n_symbol") * 10 <= F.col("n_words"))
+        & (F.col("n_nonalpha") * 5 < F.col("n_words"))
+        & (F.col("n_stop") >= GOPHER_STOP_MIN)
+    )
+    return m.select(
+        "doc_id",
+        "n_words",
+        mwl.alias("mwl_x100"),
+        "n_symbol",
+        "n_nonalpha",
+        "n_stop",
+        keep.alias("keep"),
     )

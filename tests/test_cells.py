@@ -115,3 +115,43 @@ def test_golden_values_stable():
         cells._spread_np(np.array([64]))[0] | cells._spread_np(np.array([64]))[0] << np.uint64(1)
     )
     assert got[1] == (7 << 56)  # origin corner -> morton 0
+
+
+# ---------------------------------------------------------------------------
+# quadkey string rendering (operators/geo_queries.py)
+# ---------------------------------------------------------------------------
+
+
+def test_quadkey_matches_numpy_morton(spark, sf_dir):
+    """The quadkey string must be the base-4 MSB-first rendering of
+    the SAME Morton interleave encode_np packs into the int64 cell id
+    — verified digit-by-digit from an independent numpy derivation,
+    and the hierarchy gate (prefix_ok) must hold on every row."""
+    import numpy as np
+
+    from osm_data_classification_spark.geo import cells
+    from osm_data_classification_spark.operators.geo_queries import (
+        QK_COARSE,
+        QK_RES,
+        geo_quadkey_encode,
+    )
+    from osm_data_classification_spark.sources.pages import geocoded_pages
+
+    rows = geo_quadkey_encode(spark, sf_dir).collect()
+    assert rows and all(r["prefix_ok"] for r in rows)
+
+    pages = {
+        (r["url"], r["warc_ts"]): (r["lon"], r["lat"])
+        for r in geocoded_pages(spark, sf_dir, res=7)
+        .select("url", "warc_ts", "lon", "lat")
+        .collect()
+    }
+    for r in rows[:200]:
+        lon, lat = pages[(r["url"], r["warc_ts"])]
+        x, y = cells.xy_np(np.array([lon]), np.array([lat]), QK_RES)
+        qk = "".join(
+            str(2 * ((int(y[0]) >> b) & 1) + ((int(x[0]) >> b) & 1))
+            for b in range(QK_RES - 1, -1, -1)
+        )
+        assert r["qk12"] == qk
+        assert r["qk5"] == qk[:QK_COARSE]

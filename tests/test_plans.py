@@ -235,6 +235,27 @@ def test_line_filter_is_map_only_codegen(spark, sf_dir):
     assert audit.codegen_stage_count(df) >= 1
 
 
+def test_quadkey_encode_is_map_only_codegen(spark, sf_dir):
+    """geo_quadkey_encode: floors + 17 digit expressions are all JVM
+    bit arithmetic — zero exchanges beyond the synthetic source's own
+    spread repartition, zero Python stages."""
+    df = _q("geo_quadkey_encode")(spark, sf_dir)
+    assert audit.count_exchanges(df) <= 1, audit.plan_nodes(df)
+    assert not audit.has_python_stage(df)
+    assert audit.codegen_stage_count(df) >= 1
+
+
+def test_gopher_filter_is_map_only_codegen(spark, sf_dir):
+    """gopher_quality_filter must stay a single map-only pass: the
+    zip_with plant + HOF aggregates are all JVM expressions — zero
+    exchanges, zero Python stages. One verdict row per document at
+    10^12 pages is scan-bound or it is wrong."""
+    df = _q("gopher_quality_filter")(spark, sf_dir)
+    assert audit.count_exchanges(df) == 0, audit.plan_nodes(df)
+    assert not audit.has_python_stage(df)
+    assert audit.codegen_stage_count(df) >= 1
+
+
 def test_nfc_normalize_is_single_arrow_stage_no_shuffle(spark, sf_dir):
     """text_normalize_unicode is the designed slow path: exactly ONE
     ArrowEvalPython (vectorized pandas UDF) node, no exchange — the

@@ -262,3 +262,82 @@ def test_pagerank_graph_has_dangling_and_unlinked(spark, sf_dir):
     dsts = {r["dst"] for r in rows}
     assert dsts - srcs, "no dangling host (no out-edges)"
     assert srcs - dsts, "no unlinked host (no in-links)"
+
+
+# ---------------------------------------------------------------------------
+# Gopher composite quality filter
+# ---------------------------------------------------------------------------
+
+
+def _gopher_oracle(doc_id: int, text: str):
+    from osm_data_classification_spark.operators.text import STOPWORDS
+
+    toks = text.strip().split()
+    ts = []
+    for i, t in enumerate(toks):
+        if doc_id % 37 == 0:
+            ts.append(t[:1])
+        elif doc_id % 31 == 0 and i == 0:
+            ts.append("x" * 600)
+        elif doc_id % 29 == 0 and i % 3 == 0:
+            ts.append(str(i))
+        elif doc_id % 41 == 0 and i % 2 == 0:
+            ts.append(t + "#")
+        elif (doc_id + i) % 17 == 0:
+            ts.append(t + "#")
+        elif (doc_id + i) % 7 == 0:
+            ts.append(str(i))
+        else:
+            ts.append(t)
+    n = len(ts)
+    mwl = sum(map(len, ts)) * 100 // n
+    n_sym = sum("#" in t for t in ts)
+    n_na = sum(not any("a" <= c <= "z" for c in t) for t in ts)
+    n_stop = sum(t in STOPWORDS for t in ts)
+    keep = (
+        50 <= n <= 100_000
+        and 300 <= mwl <= 1000
+        and n_sym * 10 <= n
+        and n_na * 5 < n
+        and n_stop >= 2
+    )
+    return (n, mwl, n_sym, n_na, n_stop, keep)
+
+
+def test_gopher_filter_matches_python_oracle(spark, sf_dir):
+    from osm_data_classification_spark.operators.webtext_quality import (
+        gopher_quality_filter,
+    )
+
+    got = {
+        r["doc_id"]: (
+            r["n_words"], r["mwl_x100"], r["n_symbol"],
+            r["n_nonalpha"], r["n_stop"], r["keep"],
+        )
+        for r in gopher_quality_filter(spark, sf_dir).collect()
+    }
+    pdf = _docs_pdf(spark, sf_dir)
+    assert len(got) == len(pdf)
+    for _, row in pdf.iterrows():
+        assert got[row.doc_id] == _gopher_oracle(row.doc_id, row.text), (
+            row.doc_id
+        )
+
+
+def test_gopher_filter_every_rule_fires(spark, sf_dir):
+    """Each of the five Gopher rules must reject at least one doc at
+    this sf — a rule that never fires is dead code hiding twin bugs
+    (the text_rarity_score lesson). Both mwl bounds count as rules."""
+    from osm_data_classification_spark.operators.webtext_quality import (
+        gopher_quality_filter,
+    )
+
+    rows = gopher_quality_filter(spark, sf_dir).collect()
+    assert any(r["n_words"] < 50 for r in rows)
+    assert any(r["mwl_x100"] > 1000 for r in rows)
+    assert any(r["mwl_x100"] < 300 for r in rows)
+    assert any(r["n_symbol"] * 10 > r["n_words"] for r in rows)
+    assert any(r["n_nonalpha"] * 5 >= r["n_words"] for r in rows)
+    assert any(r["n_stop"] < 2 for r in rows)
+    assert any(r["keep"] for r in rows)
+    assert any(not r["keep"] for r in rows)

@@ -149,3 +149,16 @@ def pip_exact_sql(pages_sql: str) -> str:
     SELECT DISTINCT url, warc_ts, bid AS boundary_id
     FROM crossings WHERE n % 2 = 1
     """
+
+
+def ring_vertices_values_sql() -> str:
+    """VALUES literal of every ring vertex: (bid, rseq, i, x, y) —
+    feeds the shoelace-area oracle (operators/geo_queries.py)."""
+    vals: list[str] = []
+    ring_idx: dict[int, int] = {}
+    for bid, ring in polygon_rings():
+        r = ring_idx.get(bid, 0)
+        ring_idx[bid] = r + 1
+        for i, (x, y) in enumerate(ring):
+            vals.append(f"({bid}, {r}, {i}, {x!r}, {y!r})")
+    return ",\n               ".join(vals)

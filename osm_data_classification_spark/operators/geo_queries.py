@@ -534,3 +534,73 @@ def geo_quadkey_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         qk5.alias("qk5"),
         (F.substring(qk12, 1, QK_COARSE) == qk5).alias("prefix_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Polygon ring area (integer-exact shoelace)
+# ---------------------------------------------------------------------------
+
+
+def _polygon_area_sql() -> str:
+    from ..geo.pip_sql import ring_vertices_values_sql
+
+    return f"""
+    WITH v(bid, rseq, i, x, y) AS (
+        VALUES {ring_vertices_values_sql()}
+    ),
+    e AS (
+        SELECT a.bid, a.rseq, a.x * b.y - b.x * a.y AS cross_t
+        FROM v a JOIN v b
+          ON a.bid = b.bid AND a.rseq = b.rseq AND b.i = a.i + 1
+    )
+    SELECT CAST(bid AS BIGINT) AS boundary_id,
+           CAST(rseq AS BIGINT) AS ring_seq,
+           CAST(count(*) + 1 AS BIGINT) AS n_vertices,
+           CAST(round(sum(cross_t) * 16) AS BIGINT) AS area2_x16,
+           sum(cross_t) > 0 AS ccw
+    FROM e GROUP BY bid, rseq
+    """
+
+
+@_register("geo_polygon_area", _polygon_area_sql())
+def geo_polygon_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-side geometry audit of the PIP boundary set: per-ring
+    signed shoelace area and winding order — the planar area measure
+    the raster→vector side (geo_tile_agg) is reconciled against, and
+    the orientation check a real boundary ingest runs before ray
+    casting (a hole wound like its shell silently flips parity).
+
+    Integer-exact: the literal polygon set (geo/pip_sql.py) has dyadic
+    vertices (multiples of 0.25), so every cross product and the
+    shoelace sum are exact in IEEE; x16 lands the doubled area on an
+    integer both engines agree on bit-for-bit. One aggregate over the
+    boundary dim (a broadcast-sized table at any scale — boundaries
+    are thousands, not billions). FULL oracle: DuckDB re-derives the
+    areas from the same vertex literals via a consecutive-vertex
+    self-join."""
+    from ..geo.pip_sql import polygon_rings
+
+    rows = []
+    ring_idx: dict[int, int] = {}
+    for bid, ring in polygon_rings():
+        r = ring_idx.get(bid, 0)
+        ring_idx[bid] = r + 1
+        rows.append((bid, r, [p[0] for p in ring], [p[1] for p in ring]))
+    rings = spark.createDataFrame(
+        rows, "boundary_id long, ring_seq long, xs array<double>, ys array<double>"
+    )
+    xs, ys = F.col("xs"), F.col("ys")
+    shoelace = F.aggregate(
+        F.sequence(F.lit(1), F.size(xs) - 1),
+        F.lit(0.0),
+        lambda acc, i: acc
+        + F.element_at(xs, i) * F.element_at(ys, i + 1)
+        - F.element_at(xs, i + 1) * F.element_at(ys, i),
+    )
+    return rings.select(
+        "boundary_id",
+        "ring_seq",
+        F.size(xs).cast("long").alias("n_vertices"),
+        F.round(shoelace * 16).cast("long").alias("area2_x16"),
+        (shoelace > 0).alias("ccw"),
+    )

@@ -143,3 +143,35 @@ def test_index_of_after_ensure_index_hoist():
     )
     got = p.index_of(np.array([10, 20, 30, 20], dtype=np.int64))
     assert [int(p.boundary_id[i]) for i in got] == [10, 20, 30, 20]
+
+
+def test_polygon_area_matches_python_shoelace(spark):
+    """geo_polygon_area vs an independent pure-Python shoelace over
+    the same literal rings; every outer ring must be CCW (positive)
+    and bid 5's hole ring must be present as ring_seq 1."""
+    from osm_data_classification_spark.geo.pip_sql import polygon_rings
+    from osm_data_classification_spark.operators.geo_queries import (
+        geo_polygon_area,
+    )
+
+    got = {
+        (r["boundary_id"], r["ring_seq"]): (
+            r["n_vertices"], r["area2_x16"], r["ccw"]
+        )
+        for r in geo_polygon_area(spark, "unused").collect()
+    }
+    ring_idx: dict[int, int] = {}
+    seen = set()
+    for bid, ring in polygon_rings():
+        rseq = ring_idx.get(bid, 0)
+        ring_idx[bid] = rseq + 1
+        seen.add((bid, rseq))
+        s = sum(
+            x1 * y2 - x2 * y1
+            for (x1, y1), (x2, y2) in zip(ring[:-1], ring[1:])
+        )
+        want = (len(ring), round(s * 16), s > 0)
+        assert got[(bid, rseq)] == want, (bid, rseq)
+    assert set(got) == seen
+    assert (5, 1) in got  # the hole ring
+    assert all(v[2] for k, v in got.items() if k[1] == 0)  # outers CCW

@@ -107,8 +107,10 @@ PRIORITY: tuple[str, ...] = (
     "sql_tpch_q11",
     "sql_tpch_q13",
     "sql_tpch_q15",
-    "sql_tpch_q17",
     "sql_tpch_q21",
+    # real-stream stateful dedup end-to-end (displaces q17, whose
+    # correlated-agg shape stays graded via sql_correlated_subquery)
+    "stream_dedup_recrawl",
     # -- fourth-session domain entries (Gopher doc filter, quadkey
     # hierarchy gate, shoelace ring audit) — closer to the north star
     # than the three displaced TPC-H shapes (q16/q20/q22, each

@@ -1037,3 +1037,74 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "stream_dedup_recrawl",
+    """
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(event_id) AS BIGINT) AS sum_event_id,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stateful streaming dedup END-TO-END under a real
+    multi-batch stream (the url-re-crawl dedup analog): the events
+    table plus EXACT duplicate copies of every third event is written
+    as 4 files, streamed one file per micro-batch under
+    trigger(availableNow), deduped across batches with
+    dropDuplicatesWithinWatermark(event_id) (watermark far past the
+    data horizon, so no state eviction can race the replayed copies),
+    and the surviving rows are aggregated per event type. The
+    duplicates are bit-exact copies, so ANY first-arrival winner
+    yields the same surviving set — which is what makes a full value
+    oracle possible for an otherwise arrival-order-dependent operator.
+    FULL oracle: DuckDB aggregates the ORIGINAL events directly; the
+    stream passes only if the dedup removed exactly the injected
+    copies, across whichever micro-batches they landed in."""
+    import shutil
+    import tempfile
+
+    from pyspark.errors import AnalysisException
+
+    from ..streaming.pipeline import EVENTS_SCHEMA, stream_dedup
+
+    ev = load_table(spark, sf_dir, "events")
+    dup = ev.unionAll(ev.where(F.col("event_id") % 3 == 0))
+
+    src = tempfile.mkdtemp(prefix="cat_sdedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="cat_sdedup_ckpt_")
+    sink = tempfile.mkdtemp(prefix="cat_sdedup_sink_") + "/out"
+    try:
+        dup.repartition(4).write.mode("overwrite").parquet(src)
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_dedup(stream, watermark="3650 days")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            survived = spark.read.parquet(sink)
+        except AnalysisException:
+            # zero input files -> no batch fires and the sink is never
+            # created; keep the 0-row contract with a detached empty
+            # frame (the stream_tile_ladder lesson)
+            survived = spark.createDataFrame([], ev.schema)
+        return survived.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)

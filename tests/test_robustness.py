@@ -191,6 +191,7 @@ EMPTY_INPUT_QUERIES = [
     # early return keeps the real schema)
     "text_line_filter", "text_normalize_unicode", "text_tfidf_topterms",
     "gopher_quality_filter",
+    "stream_dedup_recrawl",
     "pagerank_hosts", "text_rarity_score",
     # training prep: chunking explodes to zero rows on zero docs; packing's
     # windows are empty-safe

@@ -344,3 +344,33 @@ def test_tile_partials_drop_ungeocodable_pages(spark):
     assert len(rows) == 1
     assert rows[0]["cell"] is not None
     assert rows[0]["n_edits"] == 1
+
+
+def test_stream_dedup_recrawl_equals_batch_aggregate(spark, sf_dir):
+    """The streaming re-crawl dedup entry must reduce the duplicated
+    stream (events + exact copies of every third event) back to the
+    per-type aggregate of the ORIGINAL table — across micro-batches,
+    whichever batch each copy landed in. If the dedup dropped nothing,
+    sum_event_id double-counts every injected copy and this fails."""
+    from osm_data_classification_spark.operators.relational import (
+        CATALOG as REL,
+    )
+
+    got = {
+        r["event_type"]: (r["n_events"], r["sum_event_id"], r["n_users"])
+        for r in REL["stream_dedup_recrawl"].fn(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # the injection must be non-trivial at this sf
+    assert ev.where(F.col("event_id") % 3 == 0).count() > 0
+    want = {
+        r["event_type"]: (r["n_events"], r["sum_event_id"], r["n_users"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").cast("long").alias("sum_event_id"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .collect()
+    }
+    assert got == want

@@ -196,3 +196,83 @@ def sample_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(start, F.lit(CTX)).cast("long").alias("pack_offset"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-based language mixing weights
+# ---------------------------------------------------------------------------
+
+MIX_PPM = 1_000_000
+
+# alpha = 0.5 temperature sampling (the multilingual-pretraining mix
+# rule: w_l ∝ n_l^alpha flattens head languages, upsamples the tail).
+# sqrt is the one non-integer step; floor(sqrt(bigint)) is engine-exact
+# because IEEE sqrt is correctly rounded and n_l << 2^52, so both
+# engines land on the same integer — every downstream ratio is then
+# pure integer arithmetic.
+_MIX_DUCK = f"""
+WITH counts AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split_regex(trim(text), '\\s+')))
+                AS BIGINT) AS n_tokens
+    FROM documents GROUP BY lang
+),
+s AS (
+    SELECT *, CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS sqrt_docs
+    FROM counts
+)
+SELECT lang, n_docs, n_tokens, sqrt_docs,
+       CAST(({MIX_PPM} * sqrt_docs) // (SELECT sum(sqrt_docs) FROM s)
+            AS BIGINT) AS w_ppm,
+       CAST(({MIX_PPM} * n_docs) // (SELECT sum(n_docs) FROM s)
+            AS BIGINT) AS prop_ppm,
+       ({MIX_PPM} * sqrt_docs) // (SELECT sum(sqrt_docs) FROM s)
+           > ({MIX_PPM} * n_docs) // (SELECT sum(n_docs) FROM s)
+           AS upsampled
+FROM s
+"""
+
+
+@_register("sample_mix_weights", _MIX_DUCK)
+def sample_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing weights (alpha = 0.5): per
+    language, the corpus share a pretraining dataloader should draw —
+    w_l ∝ sqrt(n_l), ppm-scaled — next to the proportional share, and
+    whether the language is upsampled by the temperature (tail
+    languages are, head languages aren't). Feeds sample_stratified's
+    per-language keep rates from measured corpus stats instead of
+    constants.
+
+    Scale shape: one groupBy(lang) with map-side partial aggregation
+    (the exchange carries one row per language), then a broadcast of
+    the language-sized totals back — the second aggregate is over a
+    dim that is ~10^2 rows at ANY corpus size. Integer-exact end to
+    end (floor(sqrt) both engines, integer div), so FULL oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    s = counts.withColumn(
+        "sqrt_docs", F.floor(F.sqrt(F.col("n_docs").cast("double")))
+    )
+    totals = s.agg(
+        F.sum("sqrt_docs").alias("tot_sqrt"), F.sum("n_docs").alias("tot_docs")
+    )
+    return (
+        s.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "sqrt_docs",
+            F.expr(f"({MIX_PPM} * sqrt_docs) div tot_sqrt").alias("w_ppm"),
+            F.expr(f"({MIX_PPM} * n_docs) div tot_docs").alias("prop_ppm"),
+            (
+                F.expr(f"({MIX_PPM} * sqrt_docs) div tot_sqrt")
+                > F.expr(f"({MIX_PPM} * n_docs) div tot_docs")
+            ).alias("upsampled"),
+        )
+    )

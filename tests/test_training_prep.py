@@ -86,3 +86,48 @@ def test_packing_windows_are_bucket_partitioned(spark, sf_dir):
     # exactly one SinglePartition exchange (the bucket-totals level)
     assert plan.count("SinglePartition") == 1, plan
     assert "hashpartitioning(bucket" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# temperature mixing weights
+# ---------------------------------------------------------------------------
+
+
+def test_mix_weights_match_python_oracle(spark, sf_dir):
+    """sample_mix_weights vs an independent pandas/math derivation,
+    plus the semantic invariant: the head language is downsampled by
+    the sqrt temperature, at least one tail language is upsampled,
+    and the ppm weights sum to <= 1e6 (floor division)."""
+    import math
+
+    from osm_data_classification_spark.operators.training_prep import (
+        sample_mix_weights,
+    )
+
+    rows = {r["lang"]: r for r in sample_mix_weights(spark, sf_dir).collect()}
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("lang", "text")
+        .toPandas()
+    )
+    n = pdf.groupby("lang").size().to_dict()
+    toks = (
+        pdf.assign(nt=pdf.text.str.strip().str.split().str.len())
+        .groupby("lang")["nt"]
+        .sum()
+        .to_dict()
+    )
+    sq = {k: math.floor(math.sqrt(v)) for k, v in n.items()}
+    tot_sq, tot_n = sum(sq.values()), sum(n.values())
+    assert set(rows) == set(n)
+    for lang, r in rows.items():
+        assert r["n_docs"] == n[lang]
+        assert r["n_tokens"] == toks[lang]
+        assert r["sqrt_docs"] == sq[lang]
+        assert r["w_ppm"] == 1_000_000 * sq[lang] // tot_sq
+        assert r["prop_ppm"] == 1_000_000 * n[lang] // tot_n
+        assert r["upsampled"] == (r["w_ppm"] > r["prop_ppm"])
+    head = max(rows.values(), key=lambda r: r["n_docs"])
+    assert not head["upsampled"]
+    assert any(r["upsampled"] for r in rows.values())
+    assert sum(r["w_ppm"] for r in rows.values()) <= 1_000_000

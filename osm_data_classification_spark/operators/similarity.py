@@ -358,3 +358,97 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "eq", "cid", "ec")
     )
     return _rank_topk(_pair_dots(pairs, _norms(emb)))
+
+
+# ---------------------------------------------------------------------------
+# int8 vector quantization
+# ---------------------------------------------------------------------------
+
+# Symmetric int8 quantization (the 4x footprint cut an ANN index takes
+# before sharding 10^12 vectors): scale = max|v_i| per vector, code_i
+# = floor(v_i * 127 / scale). floor (not round) keeps the kernel
+# engine-exact: both engines promote the float32 element to double and
+# evaluate the identical (v * 127.0) / s expression, and IEEE doubles
+# agree bit-for-bit, so the codes — and their md5 — match with no
+# tie-breaking rule to reconcile. Zero vectors quantize to all-zero
+# codes (scale_ppm = 0) instead of dividing by zero.
+_QUANT_DUCK = """
+WITH q AS (
+    SELECT vec_id, label,
+           len(embedding) AS dim,
+           CAST(list_max(list_transform(embedding, x -> abs(x)))
+                AS DOUBLE) AS s,
+           embedding
+    FROM embeddings
+),
+c AS (
+    SELECT vec_id, label, dim, s,
+           CASE WHEN s = 0
+                THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+                ELSE list_transform(
+                    embedding,
+                    x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / s)
+                              AS BIGINT))
+           END AS codes
+    FROM q
+)
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+       CAST(dim AS BIGINT) AS dim,
+       CAST(floor(s * 1000000) AS BIGINT) AS scale_ppm,
+       CAST(list_sum(codes) AS BIGINT) AS sum_code,
+       CAST(list_min(codes) AS BIGINT) AS min_code,
+       CAST(list_max(codes) AS BIGINT) AS max_code,
+       md5(array_to_string(
+           list_transform(codes, c2 -> CAST(c2 AS VARCHAR)), '|'))
+           AS codes_md5
+FROM c
+"""
+
+
+@_register("embed_quantize_int8", _QUANT_DUCK)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    — the compression step between dense float32 vectors and a
+    sharded ANN index (codes live in 1/4 the shuffle and memory of
+    ann_lsh_bucketed / ann_ivf_topk's rerank side). Codes are
+    floor((v * 127) / max|v|), engine-exact in double arithmetic; the
+    per-vector digest, code sum, and extrema land in the driver hash
+    (the array itself stays off the driver boundary — round-1 list
+    column lesson).
+
+    Map-only plan: abs/max/floor are array HOFs inside whole-stage
+    codegen — no shuffle, no Python; at 10^12 vectors this is a pure
+    scan-side recode. FULL oracle: DuckDB re-quantizes with the same
+    IEEE expression shape."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    s = F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
+    codes = F.when(
+        s == 0, F.transform(v, lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.floor((x.cast("double") * F.lit(127.0)) / s),
+        )
+    )
+    c = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.size(v).cast("long").alias("dim"),
+        F.floor(s * 1_000_000).cast("long").alias("scale_ppm"),
+        codes.alias("codes"),
+    )
+    return c.select(
+        "vec_id",
+        "label",
+        "dim",
+        "scale_ppm",
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("sum_code"),
+        F.array_min("codes").alias("min_code"),
+        F.array_max("codes").alias("max_code"),
+        F.md5(
+            F.array_join(F.transform("codes", lambda x: x.cast("string")), "|")
+        ).alias("codes_md5"),
+    )

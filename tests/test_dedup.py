@@ -107,3 +107,71 @@ def test_vectorized_shingler_equals_hof(spark, sf_dir):
         for r in dedup.shingles_vectorized(c).collect()
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_quantize_int8_matches_numpy_and_bounds(spark, sf_dir):
+    """embed_quantize_int8 vs an independent numpy quantizer; codes
+    must fit int8 ([-128, 127]) and reconstruction error must stay
+    under one quantization step (scale/127) per element."""
+    import hashlib
+
+    import numpy as np
+
+    from osm_data_classification_spark.operators.similarity import (
+        embed_quantize_int8,
+    )
+
+    got = {
+        r["vec_id"]: r for r in embed_quantize_int8(spark, sf_dir).collect()
+    }
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .toPandas()
+    )
+    assert len(got) == len(pdf)
+    for _, row in pdf.iterrows():
+        v = np.asarray(row.embedding, dtype=np.float32).astype(np.float64)
+        s = float(np.max(np.abs(v)))
+        codes = (
+            np.zeros(len(v), dtype=np.int64)
+            if s == 0
+            else np.floor(v * 127.0 / s).astype(np.int64)
+        )
+        r = got[row.vec_id]
+        assert r["scale_ppm"] == int(np.floor(s * 1_000_000))
+        assert r["sum_code"] == int(codes.sum())
+        assert r["min_code"] == int(codes.min()) >= -128
+        assert r["max_code"] == int(codes.max()) <= 127
+        digest = hashlib.md5(
+            "|".join(str(int(c)) for c in codes).encode()
+        ).hexdigest()
+        assert r["codes_md5"] == digest
+        if s > 0:  # dequantized error < one step per element
+            assert np.max(np.abs(codes * s / 127.0 - v)) <= s / 127.0 + 1e-12
+
+
+def test_quantize_int8_zero_vector_safe(spark):
+    """A zero vector must quantize to all-zero codes with scale 0, not
+    divide by zero (ANSI mode would kill the job on junk input)."""
+    from osm_data_classification_spark.operators.similarity import (
+        embed_quantize_int8,
+    )
+
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="quant_zero_")
+    spark.createDataFrame(
+        [(0, [0.0] * 4, 1), (1, [0.5, -1.0, 0.25, 0.0], 2)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+    rows = {r["vec_id"]: r for r in embed_quantize_int8(spark, d).collect()}
+    assert rows[0]["scale_ppm"] == 0
+    assert rows[0]["sum_code"] == 0 and rows[0]["max_code"] == 0
+    assert rows[1]["min_code"] == -127

@@ -245,6 +245,16 @@ def test_quadkey_encode_is_map_only_codegen(spark, sf_dir):
     assert audit.codegen_stage_count(df) >= 1
 
 
+def test_quantize_int8_is_map_only_codegen(spark, sf_dir):
+    """embed_quantize_int8: abs/max/floor array HOFs are all JVM
+    expressions — zero exchanges, zero Python stages (a 10^12-vector
+    recode must be scan-bound)."""
+    df = _q("embed_quantize_int8")(spark, sf_dir)
+    assert audit.count_exchanges(df) == 0, audit.plan_nodes(df)
+    assert not audit.has_python_stage(df)
+    assert audit.codegen_stage_count(df) >= 1
+
+
 def test_gopher_filter_is_map_only_codegen(spark, sf_dir):
     """gopher_quality_filter must stay a single map-only pass: the
     zip_with plant + HOF aggregates are all JVM expressions — zero

@@ -452,3 +452,99 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.transform("codes", lambda x: x.cast("string")), "|")
         ).alias("codes_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8-quantized top-k (integer scoring over compressed codes)
+# ---------------------------------------------------------------------------
+
+# The scale path pairing embed_quantize_int8 with retrieval: score in
+# the compressed domain (integer dot product of int8 codes — ~1/4 the
+# shuffle bytes and a SIMD-able integer kernel) and only ship float
+# vectors for whatever survives. Codes are <= 127 and dim is 64, so
+# the dot is < 2^21 — exact in BIGINT on both engines; with the floor
+# quantizer shared with embed_quantize_int8, the ranking is fully
+# deterministic (ties broken by cid).
+
+_CODES_SQL = """
+    SELECT vec_id,
+           CAST(list_max(list_transform(embedding, x -> abs(x)))
+                AS DOUBLE) AS s,
+           embedding
+    FROM embeddings
+"""
+
+
+def _codes_list_sql(alias: str) -> str:
+    return (
+        f"CASE WHEN {alias}.s = 0 THEN "
+        f"list_transform({alias}.embedding, x -> CAST(0 AS BIGINT)) "
+        f"ELSE list_transform({alias}.embedding, "
+        f"x -> CAST(floor((CAST(x AS DOUBLE) * 127.0) / {alias}.s) "
+        f"AS BIGINT)) END"
+    )
+
+
+@_register(
+    "ann_int8_topk",
+    f"""
+    WITH raw AS ({_CODES_SQL}),
+    coded AS (
+        SELECT vec_id, {_codes_list_sql('raw')} AS codes FROM raw
+    ),
+    scored AS (
+        SELECT q.vec_id AS qid, c.vec_id AS cid,
+               CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                    i -> q.codes[i] * c.codes[i])) AS BIGINT) AS int8_dot
+        FROM coded q CROSS JOIN coded c
+        WHERE q.vec_id < {N_QUERIES}
+    )
+    SELECT qid, cid, int8_dot,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY int8_dot DESC, cid ASC) AS rank
+    FROM scored
+    QUALIFY rank <= {TOP_K}
+    """,
+)
+def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval scored entirely in the int8-quantized domain:
+    probes and candidates are recoded with embed_quantize_int8's floor
+    quantizer, scored by integer dot product (exact BIGINT both
+    engines), ranked per probe with a deterministic tie-break. The
+    compressed-domain twin of ann_cosine_topk — at 10^12 vectors the
+    candidate side streams 1/4 the bytes and the scoring kernel is
+    integer SIMD instead of float; the float vectors are only fetched
+    for the k survivors (not modeled here — the ranking is the gate).
+
+    Plan: probes broadcast (N_QUERIES rows), candidates stream, one
+    window per probe — same scale shape as the float baseline. FULL
+    oracle: DuckDB re-quantizes and re-scores with identical integer
+    arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding")
+    s = F.array_max(F.transform(v, lambda x: F.abs(x))).cast("double")
+    codes = F.when(
+        s == 0, F.transform(v, lambda x: F.lit(0).cast("long"))
+    ).otherwise(
+        F.transform(v, lambda x: F.floor((x.cast("double") * F.lit(127.0)) / s))
+    )
+    coded = emb.select("vec_id", codes.alias("codes"))
+    q = coded.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("codes").alias("qc")
+    )
+    c = coded.select(F.col("vec_id").alias("cid"), F.col("codes").alias("cc"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "qid",
+        "cid",
+        F.aggregate(
+            F.zip_with("qc", "cc", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("int8_dot"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("int8_dot"), F.asc("cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "cid", "int8_dot", F.col("rank").cast("long").alias("rank"))
+    )

@@ -175,3 +175,30 @@ def test_quantize_int8_zero_vector_safe(spark):
     assert rows[0]["scale_ppm"] == 0
     assert rows[0]["sum_code"] == 0 and rows[0]["max_code"] == 0
     assert rows[1]["min_code"] == -127
+
+
+def test_int8_topk_recall_vs_float_baseline(spark, sf_dir):
+    """Ranking in the quantized domain must approximate the float
+    cosine ranking: recall@5 vs ann_cosine_topk well above chance
+    (random would be ~TOP_K/N ≈ 1%; measured 0.80 at sf0.01, gate at
+    0.5 to absorb sf variation) — and the top-1 self-match (probe
+    retrieves itself) must be exact for every probe."""
+    from osm_data_classification_spark.operators.similarity import (
+        ann_cosine_topk,
+        ann_int8_topk,
+    )
+
+    int8 = ann_int8_topk(spark, sf_dir).collect()
+    cos = ann_cosine_topk(spark, sf_dir).collect()
+    got = {}
+    for r in int8:
+        got.setdefault(r["qid"], set()).add(r["cid"])
+    want = {}
+    for r in cos:
+        want.setdefault(r["qid"], set()).add(r["cid"])
+    assert set(got) == set(want)
+    hits = sum(len(got[q] & want[q]) for q in want)
+    total = sum(len(want[q]) for q in want)
+    assert hits / total >= 0.5, (hits, total)
+    top1 = {r["qid"]: r["cid"] for r in int8 if r["rank"] == 1}
+    assert all(q == c for q, c in top1.items()), top1

@@ -106,7 +106,9 @@ PRIORITY: tuple[str, ...] = (
     "sql_tpch_q2",
     "sql_tpch_q8",
     "sql_tpch_q9",
-    "sql_tpch_q11",
+    # mix-weights applied end-to-end (displaces q11; its scalar-
+    # subquery-threshold shape stays graded via sql_correlated_subquery)
+    "curate_mix_apply",
     # int8 vector quantization (displaces q15; its view-max shape
     # stays graded via the local sweep + window_topk_per_group history)
     "embed_quantize_int8",

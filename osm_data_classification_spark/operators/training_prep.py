@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from .portable import PHASH, phash_col
 from .relational import QuerySpec
 
 CATALOG: dict[str, QuerySpec] = {}
@@ -275,4 +276,90 @@ def sample_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 > F.expr(f"({MIX_PPM} * n_docs) div tot_docs")
             ).alias("upsampled"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# apply the temperature mix as deterministic downsampling
+# ---------------------------------------------------------------------------
+
+# keep_ppm = min(1e6, floor(1e6 * sqrt_l * tot_docs / (tot_sqrt * n_l)))
+# — the downsample factor that moves the corpus from its proportional
+# shares to the alpha=0.5 temperature shares (upsampled tail languages
+# cap at 1e6: a filter can only drop). The single-expression numerator
+# fits BIGINT through ~10^9 docs/lang at test scales; at 10^12 docs
+# promote it to DECIMAL(38,0) or split the division (noted, not
+# needed here).
+_MIX_APPLY_DUCK = f"""
+WITH counts AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    GROUP BY lang
+),
+s AS (
+    SELECT lang, n_docs,
+           CAST(floor(sqrt(CAST(n_docs AS DOUBLE))) AS BIGINT) AS sqrt_docs
+    FROM counts
+),
+rates AS (
+    SELECT lang, n_docs,
+           least({MIX_PPM},
+                 ({MIX_PPM} * sqrt_docs * (SELECT sum(n_docs) FROM s))
+                     // ((SELECT sum(sqrt_docs) FROM s) * n_docs))
+               AS keep_ppm
+    FROM s
+),
+kept AS (
+    SELECT d.lang, d.doc_id, r.keep_ppm, r.n_docs
+    FROM documents d JOIN rates r USING (lang)
+    WHERE {PHASH('d.doc_id')} % {MIX_PPM} < r.keep_ppm
+)
+SELECT lang,
+       CAST(any_value(n_docs) AS BIGINT) AS n_in,
+       CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(any_value(keep_ppm) AS BIGINT) AS keep_ppm,
+       CAST(sum(doc_id) AS BIGINT) AS sum_kept_doc_id
+FROM kept GROUP BY lang
+"""
+
+
+@_register("curate_mix_apply", _MIX_APPLY_DUCK)
+def curate_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sample_mix_weights applied end-to-end: per-language keep rates
+    derived from the measured corpus (downsample head languages toward
+    the alpha=0.5 temperature mix; tail languages cap at keep-all),
+    then the deterministic portable-hash filter — the same sample at
+    any parallelism, partitioning, or engine. Returns the per-language
+    audit row (input size, survivors, rate, kept-id checksum).
+
+    Scale shape: one groupBy(lang) for the stats (language-sized), the
+    rates broadcast back onto the corpus (an explicit broadcast join —
+    the dim is ~10^2 rows at ANY corpus size), one map-only filter,
+    one final language-sized aggregate. No shuffle touches the corpus
+    except the terminal per-lang rollup of survivors. FULL oracle:
+    DuckDB re-derives the rates and re-applies the identical hash
+    threshold."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    s = counts.withColumn(
+        "sqrt_docs", F.floor(F.sqrt(F.col("n_docs").cast("double")))
+    )
+    totals = s.agg(
+        F.sum("sqrt_docs").alias("tot_sqrt"), F.sum("n_docs").alias("tot_docs")
+    )
+    rates = s.crossJoin(F.broadcast(totals)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(MIX_PPM),
+            F.expr(f"({MIX_PPM} * sqrt_docs * tot_docs) div (tot_sqrt * n_docs)"),
+        ).alias("keep_ppm"),
+    )
+    kept = docs.join(F.broadcast(rates), "lang").where(
+        F.pmod(phash_col(F.col("doc_id")), F.lit(MIX_PPM)) < F.col("keep_ppm")
+    )
+    return kept.groupBy("lang").agg(
+        F.first("n_docs").alias("n_in"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.first("keep_ppm").alias("keep_ppm"),
+        F.sum("doc_id").cast("long").alias("sum_kept_doc_id"),
     )

@@ -131,3 +131,47 @@ def test_mix_weights_match_python_oracle(spark, sf_dir):
     assert not head["upsampled"]
     assert any(r["upsampled"] for r in rows.values())
     assert sum(r["w_ppm"] for r in rows.values()) <= 1_000_000
+
+
+def test_mix_apply_moves_shares_toward_temperature(spark, sf_dir):
+    """curate_mix_apply's semantic contract: the head language's kept
+    share shrinks toward its temperature share, tail languages keep
+    everything (rate capped at 1e6), and every kept set is exactly the
+    portable-hash threshold set (independent python re-derivation)."""
+    import math
+
+    from osm_data_classification_spark.operators.training_prep import (
+        curate_mix_apply,
+    )
+
+    rows = {r["lang"]: r for r in curate_mix_apply(spark, sf_dir).collect()}
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "lang")
+        .toPandas()
+    )
+    n = pdf.groupby("lang").size().to_dict()
+    sq = {k: math.floor(math.sqrt(v)) for k, v in n.items()}
+    tot_sq, tot_n = sum(sq.values()), sum(n.values())
+
+    def keep_ppm(lang):
+        return min(1_000_000, 1_000_000 * sq[lang] * tot_n // (tot_sq * n[lang]))
+
+    def phash(v: int) -> int:
+        import hashlib
+
+        return int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+
+    head = max(n, key=n.get)
+    assert rows[head]["keep_ppm"] < 1_000_000
+    assert any(rows[l]["keep_ppm"] == 1_000_000 for l in n if l != head)
+    for lang, r in rows.items():
+        assert r["n_in"] == n[lang]
+        assert r["keep_ppm"] == keep_ppm(lang)
+        kept = [
+            int(d)
+            for d, lg in zip(pdf.doc_id, pdf.lang)
+            if lg == lang and phash(int(d)) % 1_000_000 < keep_ppm(lang)
+        ]
+        assert r["n_kept"] == len(kept)
+        assert r["sum_kept_doc_id"] == sum(kept)

@@ -42,6 +42,8 @@ HEADLINE = [
     "ann_cosine_topk",        # similarity search over embeddings
     "text_quality_score",     # text-analysis pipeline op
     "sql_tpch_q5",            # deepest join chain (6-way, SQL surface)
+    "gopher_quality_filter",  # scan-side doc filter (zip_with + HOFs)
+    "embed_quantize_int8",    # map-only int8 vector recode
 ]
 
 

@@ -802,3 +802,96 @@ def geo_cluster_dense_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dense.unpersist()
     return out
+
+# ---------------------------------------------------------------------------
+# raster -> vector: emit each occupied tile as a WKT polygon
+# ---------------------------------------------------------------------------
+
+_VEC_RES = 7
+# res-7 cell extents are exact multiples of 1/32 degree (360/128 =
+# 2.8125 = 90/32, 180/128 = 1.40625 = 45/32), so bounds scale to
+# EXACT integers at x32 — cross-engine string building never touches
+# float formatting (same dyadic trick as geo_polygon_area's x16).
+_VEC_LON_STEP_X32 = 90
+_VEC_LAT_STEP_X32 = 45
+
+
+def _tile_vectorize_sql() -> str:
+    res = _VEC_RES
+    cell = f"({res << RES_BITS_SHIFT} | {SPREAD('x')} | ({SPREAD('y')} << 1))"
+    lon0 = f"(-5760 + x * {_VEC_LON_STEP_X32})"
+    lat0 = f"(-2880 + y * {_VEC_LAT_STEP_X32})"
+    lon1 = f"({lon0} + {_VEC_LON_STEP_X32})"
+    lat1 = f"({lat0} + {_VEC_LAT_STEP_X32})"
+
+    def pt(a, b):
+        return f"CAST({a} AS VARCHAR) || ' ' || CAST({b} AS VARCHAR)"
+
+    wkt = (
+        f"'POLYGON((' || {pt(lon0, lat0)} || ', ' || {pt(lon1, lat0)}"
+        f" || ', ' || {pt(lon1, lat1)} || ', ' || {pt(lon0, lat1)}"
+        f" || ', ' || {pt(lon0, lat0)} || '))'"
+    )
+    return f"""
+    WITH {PAGES_SQL},
+    cellxy AS (
+        SELECT {X_SQL('lon', res)} AS x, {Y_SQL('lat', res)} AS y FROM pages
+    ),
+    tiles AS (
+        SELECT x, y, COUNT(*) AS n_pages FROM cellxy GROUP BY x, y
+    )
+    SELECT {cell} AS cell, n_pages,
+           {lon0} AS lon0_x32, {lat0} AS lat0_x32,
+           {lon1} AS lon1_x32, {lat1} AS lat1_x32,
+           {wkt} AS wkt_x32
+    FROM tiles
+    """
+
+
+@_register("geo_tile_vectorize", _tile_vectorize_sql())
+def geo_tile_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster→vector (BASELINE.json:6 'raster-to-vector tile
+    aggregation'): every occupied res-7 tile becomes a closed CCW WKT
+    polygon ring of its cell bounds, coordinates in 1/32-degree
+    integer units so the geometry string is bit-identical across
+    engines, plus the page count measure — the export shape a tile
+    server or GIS ingests.
+
+    Map + one count groupBy (map-side combine), then pure JVM string
+    concat per GROUP (4^res rows max, not per page). FULL oracle:
+    DuckDB rebuilds bounds and WKT from the same integer arithmetic."""
+    from ..geo.cells import cell_from_xy_col, xy_cols
+
+    res = _VEC_RES
+    pages = geocoded_pages(spark, sf_dir, res=res)
+    x, y = xy_cols(F.col("lon"), F.col("lat"), res)
+    tiles = (
+        pages.select(x.alias("x"), y.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("n_pages"))
+    )
+    lon0 = F.lit(-5760) + F.col("x") * _VEC_LON_STEP_X32
+    lat0 = F.lit(-2880) + F.col("y") * _VEC_LAT_STEP_X32
+    lon1 = lon0 + _VEC_LON_STEP_X32
+    lat1 = lat0 + _VEC_LAT_STEP_X32
+
+    def pt(a, b):
+        return F.concat(a.cast("string"), F.lit(" "), b.cast("string"))
+
+    wkt = F.concat(
+        F.lit("POLYGON(("),
+        pt(lon0, lat0), F.lit(", "),
+        pt(lon1, lat0), F.lit(", "),
+        pt(lon1, lat1), F.lit(", "),
+        pt(lon0, lat1), F.lit(", "),
+        pt(lon0, lat0), F.lit("))"),
+    )
+    return tiles.select(
+        cell_from_xy_col(F.col("x"), F.col("y"), res).alias("cell"),
+        "n_pages",
+        lon0.cast("long").alias("lon0_x32"),
+        lat0.cast("long").alias("lat0_x32"),
+        lon1.cast("long").alias("lon1_x32"),
+        lat1.cast("long").alias("lat1_x32"),
+        wkt.alias("wkt_x32"),
+    )

@@ -82,3 +82,71 @@ def test_max_iter_below_one_raises_valueerror(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="max_iter"):
         connected_components(edges, max_iter=0)
+
+
+def test_dense_cell_clusters_match_union_find(spark, sf_dir):
+    """geo_cluster_dense_cells vs a python union-find over the same
+    raster: rebuild the dense-cell set from the geocoded pages, close
+    the 8-neighbor adjacency (wrap in x, clamp in y), and compare
+    cluster labels and the per-cluster rollups."""
+    from collections import Counter
+
+    from osm_data_classification_spark.geo import cells
+    from osm_data_classification_spark.operators.geo_queries import (
+        DENSE_RES,
+        DENSE_THR,
+        geo_cluster_dense_cells,
+    )
+    from osm_data_classification_spark.sources.pages import geocoded_pages
+
+    import numpy as np
+
+    rows = geocoded_pages(spark, sf_dir, res=DENSE_RES).select("lon", "lat").collect()
+    n = 1 << DENSE_RES
+    lon = np.array([r["lon"] for r in rows])
+    lat = np.array([r["lat"] for r in rows])
+    x, y = cells.xy_np(lon, lat, DENSE_RES)
+    counts = Counter(zip(x.tolist(), y.tolist()))
+    dense = {xy for xy, c in counts.items() if c >= DENSE_THR}
+    pairs = []
+    for (cx, cy) in dense:
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx, dy) == (0, 0):
+                    continue
+                nx, ny = (cx + dx) % n, cy + dy
+                if 0 <= ny < n and (nx, ny) in dense:
+                    pairs.append(((cx, cy), (nx, ny)))
+    comp = _union_find(pairs)
+    exp_lab = {}
+    cell_id = {
+        xy: int(
+            (DENSE_RES << cells.RES_BITS_SHIFT)
+            | int(cells._spread_np(np.array([xy[0]], dtype=np.uint64))[0]
+                  | (cells._spread_np(np.array([xy[1]], dtype=np.uint64))[0] << np.uint64(1)))
+        )
+        for xy in dense
+    }
+    # canonical label = min CELL ID reachable (matches the operator);
+    # _union_find already resolves every key to its final root
+    groups = {}
+    for xy in dense:
+        groups.setdefault(comp.get(xy, xy), []).append(xy)
+    for members in groups.values():
+        lab = min(cell_id[m] for m in members)
+        tot = sum(counts[m] for m in members)
+        for m in members:
+            exp_lab[cell_id[m]] = (lab, len(members), tot)
+
+    got = geo_cluster_dense_cells(spark, sf_dir).collect()
+    assert len(got) == len(dense)
+    for r in got:
+        lab, ncells, npages = exp_lab[r["cell"]]
+        assert r["cluster"] == lab
+        assert r["cluster_cells"] == ncells
+        assert r["cluster_pages"] == npages
+        assert r["n_pages"] == counts[
+            tuple(int(v[0]) for v in cells.cell_xy_np(np.array([r["cell"]])))
+        ]
+    # the fixture must actually exercise multi-cell clusters
+    assert any(r["cluster_cells"] > 1 for r in got)

@@ -232,3 +232,55 @@ def cell_parent_col(cell: Column, child_res: int, parent_res: int) -> Column:
     morton = cell.bitwiseAND(F.lit((1 << RES_BITS_SHIFT) - 1))
     shifted = F.shiftright(morton, 2 * (child_res - parent_res))
     return F.lit(parent_res << RES_BITS_SHIFT).bitwiseOR(shifted)
+
+
+def bbox_cover_ranges(
+    lon0: float, lat0: float, lon1: float, lat1: float, res: int
+) -> list[tuple[int, int]]:
+    """Decompose a (closed) bbox into merged, sorted Morton-id ranges
+    at ``res`` — the classic Z-order range decomposition: quadtree
+    descent emits each fully-contained cell as one contiguous
+    descendant range, boundary cells recurse down to ``res``. The
+    union of ranges covers every res-``res`` cell whose bounds
+    intersect the bbox (conservative superset — callers refine with
+    the exact lon/lat predicate). No anti-meridian wrap: callers
+    split a wrapping bbox into two first.
+
+    Driver-side only (the bbox is a query literal): the output feeds
+    `cell BETWEEN lo AND hi` predicates that Spark pushes into the
+    parquet scan when the table is Z-order clustered
+    (io.cluster_write), turning a full-table scan into
+    O(matching row groups)."""
+    if lon0 > lon1 or lat0 > lat1:
+        raise ValueError("bbox min must be <= max (split wrapping boxes first)")
+    raw: list[tuple[int, int]] = []
+
+    def rec(x: int, y: int, p: int) -> None:
+        n = 1 << p
+        w, h = 360.0 / n, 180.0 / n
+        clon0, clat0 = -180.0 + x * w, -90.0 + y * h
+        clon1, clat1 = clon0 + w, clat0 + h
+        if clon0 > lon1 or clon1 < lon0 or clat0 > lat1 or clat1 < lat0:
+            return
+        inside = lon0 <= clon0 and clon1 <= lon1 and lat0 <= clat0 and clat1 <= lat1
+        if inside or p == res:
+            m = int(_spread_np(np.array([x], dtype=np.uint64))[0]) | (
+                int(_spread_np(np.array([y], dtype=np.uint64))[0]) << 1
+            )
+            shift = 2 * (res - p)
+            raw.append((m << shift, ((m + 1) << shift) - 1))
+            return
+        for dx in (0, 1):
+            for dy in (0, 1):
+                rec(2 * x + dx, 2 * y + dy, p + 1)
+
+    rec(0, 0, 0)
+    raw.sort()
+    merged: list[list[int]] = []
+    for lo, hi in raw:
+        if merged and lo == merged[-1][1] + 1:
+            merged[-1][1] = hi
+        else:
+            merged.append([lo, hi])
+    base = res << RES_BITS_SHIFT
+    return [(base | lo, base | hi) for lo, hi in merged]

@@ -895,3 +895,69 @@ def geo_tile_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         lat1.cast("long").alias("lat1_x32"),
         wkt.alias("wkt_x32"),
     )
+
+# ---------------------------------------------------------------------------
+# Z-order bbox range scan (index-pruned spatial window query)
+# ---------------------------------------------------------------------------
+
+# a "North-America" window: closed bbox, no anti-meridian wrap,
+# containing one mega place token (-89.95, 30.025) so the window
+# holds a skewed hot cell, not only uniform tail pages
+_BBOX = (-100.0, 20.0, -60.0, 50.0)
+_BBOX_RES = 7
+
+
+def _bbox_query_sql() -> str:
+    l0, b0, l1, b1 = _BBOX
+    return f"""
+    WITH {PAGES_SQL}
+    SELECT url, warc_ts, lon, lat,
+           {CELL_SQL('lon', 'lat', _BBOX_RES)} AS cell
+    FROM pages
+    WHERE lon BETWEEN {l0} AND {l1} AND lat BETWEEN {b0} AND {b1}
+    """
+
+
+@_register("geo_bbox_cells_query", _bbox_query_sql())
+def geo_bbox_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial window query via Z-order range decomposition: the
+    literal bbox compiles (driver-side, geo/cells.py
+    bbox_cover_ranges) into ~49 merged Morton ranges at res 7; the
+    scan filters `cell BETWEEN lo AND hi` FIRST, then refines with
+    the exact lon/lat predicate. On a Z-order-clustered table
+    (io.cluster_write) the range predicates push into the parquet
+    footer min/max stats and skip every row group outside the window
+    (proof: tests/test_layout.py) — the 100-TB shape is O(matching
+    row groups), not a full scan.
+
+    FULL oracle: DuckDB answers the same window with the plain bbox
+    predicate and NO cell index — a cover bug that drops a range
+    loses rows and fails the value hash; the exact refine makes
+    extras impossible.
+
+    Predicate shape lesson (this round, measured): an OR-chain of 49
+    BETWEENs stacked on the synth+geocode codegen stage blows Janino
+    past its limits — the compile FAILS and every task pays the
+    failed-compile + interpreted fallback (5 ranges already took
+    32 s). One higher-order `exists` over a literal array of range
+    structs keeps codegen size constant and loops at runtime
+    instead. For a STORED Z-clustered table the per-file pruning
+    comes from the footer stats path (tests/test_layout.py), which
+    consumes the ranges directly, not the row predicate."""
+    from ..geo.cells import bbox_cover_ranges
+
+    l0, b0, l1, b1 = _BBOX
+    ranges = bbox_cover_ranges(l0, b0, l1, b1, _BBOX_RES)
+    pages = geocoded_pages(spark, sf_dir, res=_BBOX_RES)
+    rng = F.array(
+        *[
+            F.struct(F.lit(lo).alias("lo"), F.lit(hi).alias("hi"))
+            for lo, hi in ranges
+        ]
+    )
+    in_ranges = F.exists(
+        rng, lambda s: (F.col("cell") >= s["lo"]) & (F.col("cell") <= s["hi"])
+    )
+    return pages.filter(in_ranges).filter(
+        F.col("lon").between(l0, l1) & F.col("lat").between(b0, b1)
+    ).select("url", "warc_ts", "lon", "lat", "cell")

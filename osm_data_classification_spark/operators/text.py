@@ -347,3 +347,66 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle (training-data export ordering)
+# ---------------------------------------------------------------------------
+
+SHUFFLE_SHARDS = 8
+_SHUF_A, _SHUF_B = 712_347_113, 381_002_419  # pmix permutation constants
+
+
+def _global_shuffle_sql() -> str:
+    from .portable import PMIX
+
+    key = PMIX(PHASH("doc_id"), _SHUF_A, _SHUF_B)
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, {key} AS shuffle_key,
+               ({key}) % {SHUFFLE_SHARDS} AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard, shuffle_key,
+           ROW_NUMBER() OVER (
+               PARTITION BY shard ORDER BY shuffle_key, doc_id
+           ) - 1 AS pos
+    FROM keyed
+    """
+
+
+@_register("sample_global_shuffle", _global_shuffle_sql())
+def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training export: each document
+    gets a permuted portable hash (pmix of phash — no rand(), so the
+    order is stable across runs, engines, and partitionings), a shard
+    = key mod 8, and a dense within-shard position ordered by (key,
+    doc_id). Reading shards round-robin replays one fixed
+    pseudo-random permutation of the corpus — the "global shuffle"
+    every LLM data pipeline performs before tokenizing, without ever
+    materializing a total order.
+
+    100-TB shape: ONE hash-partition shuffle on shard (cluster-wide
+    data movement equals input size, unavoidable for a shuffle) and a
+    per-shard sort that Spark spills per partition — no global sort,
+    no driver involvement; shards are independent so the export
+    parallelizes across executors. FULL oracle: DuckDB reproduces the
+    identical permutation and row_numbers."""
+    from pyspark.sql import Window
+
+    from .portable import pmix_col
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    key = pmix_col(phash_col(F.col("doc_id")), _SHUF_A, _SHUF_B)
+    keyed = docs.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        F.pmod(key, F.lit(SHUFFLE_SHARDS)).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        "shuffle_key",
+        (F.row_number().over(w) - 1).cast("long").alias("pos"),
+    )

@@ -191,3 +191,45 @@ def test_cell_neighbors_match_kring_np(spark, sf_dir):
     ring = cells.kring_np(c0, k=1)
     xs, _ = cells.cell_xy_np(ring)
     assert xs.min() == 0 and xs.max() == (1 << NB_RES) - 1
+
+
+def test_bbox_cover_ranges_exact_cover():
+    """bbox_cover_ranges == brute force: for seeded random bboxes the
+    range union must contain EXACTLY the res-5 cells whose bounds
+    intersect the closed bbox — no misses (lost rows downstream), no
+    extras beyond boundary cells (wasted scan)."""
+    import numpy as np
+
+    from osm_data_classification_spark.geo.cells import (
+        bbox_cover_ranges,
+        cell_bounds_np,
+    )
+
+    res, n = 5, 1 << 5
+    all_cells = []
+    xs, ys = np.meshgrid(np.arange(n), np.arange(n))
+    from osm_data_classification_spark.geo.cells import _spread_np, RES_BITS_SHIFT
+
+    morton = _spread_np(xs.ravel().astype(np.uint64)) | (
+        _spread_np(ys.ravel().astype(np.uint64)) << np.uint64(1)
+    )
+    all_cells = (np.uint64(res << RES_BITS_SHIFT) | morton).astype(np.int64)
+    lon0b, lat0b, lon1b, lat1b = cell_bounds_np(all_cells)
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        l0, l1 = np.sort(rng.uniform(-180, 180, 2))
+        b0, b1 = np.sort(rng.uniform(-90, 90, 2))
+        ranges = bbox_cover_ranges(float(l0), float(b0), float(l1), float(b1), res)
+        in_ranges = np.zeros(len(all_cells), dtype=bool)
+        for lo, hi in ranges:
+            in_ranges |= (all_cells >= lo) & (all_cells <= hi)
+        intersects = (lon0b <= l1) & (lon1b >= l0) & (lat0b <= b1) & (lat1b >= b0)
+        assert (in_ranges == intersects).all(), (l0, b0, l1, b1)
+
+    # degenerate inputs
+    assert bbox_cover_ranges(0.0, 0.0, 0.0, 0.0, res)  # point bbox still covers
+    import pytest
+
+    with pytest.raises(ValueError):
+        bbox_cover_ranges(10.0, 0.0, -10.0, 0.0, res)

@@ -136,7 +136,7 @@ def full_catalog() -> dict[str, QuerySpec]:
     cat.update(_RELATIONAL)
     for modname in ("dedup", "text", "similarity", "geo_queries", "ml_queries",
                     "multimodal", "ref_features", "skew_queries", "grouped",
-                    "sql_surface", "temporal", "components", "webtext",
+                    "sql_surface", "temporal", "components", "webtext", "webgraph",
                     "webtext_quality", "training_prep"):
         mod = __import__(
             f"osm_data_classification_spark.operators.{modname}",

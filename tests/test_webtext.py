@@ -522,3 +522,40 @@ def test_global_shuffle_is_a_permutation_and_stable(spark, sf_dir):
         # pos order == (shuffle_key, doc_id) order
         keys = [(r["shuffle_key"], r["doc_id"]) for r in rows]
         assert keys == sorted(keys)
+
+
+def test_outlinks_parse_matches_planted_arithmetic(spark, sf_dir):
+    """webgraph_outlinks must recover exactly the links the generator
+    planted: 3 per page, href rebuilt from page_id arithmetic; a page
+    with no hrefs (junk html) yields zero rows, not an error."""
+    from osm_data_classification_spark.operators.webgraph import (
+        N_LINKS,
+        webgraph_outlinks,
+    )
+    from osm_data_classification_spark.sources.pages import N_HOSTS
+
+    rows = webgraph_outlinks(spark, sf_dir).collect()
+    by_page = {}
+    for r in rows:
+        by_page.setdefault((r["url"], r["warc_ts"]), []).append(r)
+    for (url, _), links in by_page.items():
+        pid = int(url.rsplit("/", 1)[1])
+        links.sort(key=lambda r: r["link_pos"])
+        assert [r["link_pos"] for r in links] == list(range(N_LINKS))
+        for m, r in enumerate(links, start=1):
+            host = (pid * 7 + m * 13) % N_HOSTS
+            assert r["href"] == f"https://site{host}.example/p/{pid * 3 + m}"
+            assert r["dst_host"] == f"site{host}.example"
+
+    # junk html degrades to an empty edge set
+    import pyspark.sql.functions as F
+
+    junk = spark.createDataFrame(
+        [("u1", bytearray(b"\xff\xfe not html at all"))], "url string, html binary"
+    )
+    got = junk.select(
+        F.explode(
+            F.regexp_extract_all(F.col("html").cast("string"), F.lit(r'href="([^"]+)"'), 1)
+        )
+    ).count()
+    assert got == 0

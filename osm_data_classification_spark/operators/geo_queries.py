@@ -961,3 +961,106 @@ def geo_bbox_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.filter(in_ranges).filter(
         F.col("lon").between(l0, l1) & F.col("lat").between(b0, b1)
     ).select("url", "warc_ts", "lon", "lat", "cell")
+
+# ---------------------------------------------------------------------------
+# cover compaction (S2 CellUnion normalization)
+# ---------------------------------------------------------------------------
+
+_COMPACT_TOP = 7  # input cover resolution
+_COMPACT_BOTTOM = 4  # coarsest parent compaction may reach
+_MORTON_MASK = (1 << RES_BITS_SHIFT) - 1
+
+
+def _compact_input_ranges() -> list[tuple[int, int]]:
+    """The literal N-America cover at res 7 (same bbox as
+    geo_bbox_cells_query) — contiguous interior regions, so complete
+    sibling quads exist and compaction has real work to do (330 cells
+    → 48 mixed-res, measured)."""
+    from ..geo.cells import bbox_cover_ranges
+
+    l0, b0, l1, b1 = _BBOX
+    return bbox_cover_ranges(l0, b0, l1, b1, _COMPACT_TOP)
+
+
+def _cover_compact_sql() -> str:
+    ranges = _compact_input_ranges()
+    seeds = " UNION ALL ".join(
+        f"SELECT unnest(generate_series({lo & _MORTON_MASK}, {hi & _MORTON_MASK})) AS m"
+        for lo, hi in ranges
+    )
+    parts, prev = [], f"l{_COMPACT_TOP}"
+    ctes = [f"l{_COMPACT_TOP} AS ({seeds})"]
+    for res in range(_COMPACT_TOP, _COMPACT_BOTTOM, -1):
+        p = res - 1
+        ctes.append(
+            f"g{p} AS (SELECT (m >> 2) AS p, COUNT(*) AS c FROM l{res} GROUP BY 1)"
+        )
+        ctes.append(
+            f"k{res} AS (SELECT m FROM l{res} "
+            f"WHERE (m >> 2) IN (SELECT p FROM g{p} WHERE c < 4))"
+        )
+        ctes.append(f"l{p} AS (SELECT p AS m FROM g{p} WHERE c = 4)")
+        parts.append(
+            f"SELECT CAST({res} AS BIGINT) AS res,"
+            f" ({res << RES_BITS_SHIFT} | m) AS cell,"
+            f" CAST({4 ** (_COMPACT_TOP - res)} AS BIGINT) AS n_leaves"
+            f" FROM k{res}"
+        )
+    parts.append(
+        f"SELECT CAST({_COMPACT_BOTTOM} AS BIGINT) AS res,"
+        f" ({_COMPACT_BOTTOM << RES_BITS_SHIFT} | m) AS cell,"
+        f" CAST({4 ** (_COMPACT_TOP - _COMPACT_BOTTOM)} AS BIGINT) AS n_leaves"
+        f" FROM l{_COMPACT_BOTTOM}"
+    )
+    return "WITH " + ",\n".join(ctes) + "\n" + " UNION ALL ".join(parts)
+
+
+@_register("geo_cover_compact", _cover_compact_sql())
+def geo_cover_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-style CellUnion normalization: any complete sibling quad in
+    the cover is replaced by its parent, bottom-up from res 7 to res
+    4 — the index-maintenance kernel that keeps stored covers (and
+    the bbox ranges they compile to) minimal. Input = the literal
+    N-America cover exploded to res-7 cells; output = the mixed-res
+    compacted set with each cell's leaf-equivalent count (their sum
+    must equal the input size — pinned in tests/test_cells.py).
+
+    Per level: one small groupBy on the parent id + one left-anti
+    join against the complete-quad set (both sides shrink 4× per
+    level; at any scale this is bounded by the cover size, never the
+    data). FULL oracle: DuckDB runs the identical unrolled bottom-up
+    pass over the same literal ranges."""
+    ranges = _compact_input_ranges()
+    rng_df = spark.createDataFrame(
+        [(lo & _MORTON_MASK, hi & _MORTON_MASK) for lo, hi in ranges],
+        "lo long, hi long",
+    )
+    cur = rng_df.select(F.explode(F.sequence("lo", "hi")).alias("m"))
+    kept = []
+    for res in range(_COMPACT_TOP, _COMPACT_BOTTOM, -1):
+        counts = cur.groupBy(F.shiftright("m", 2).alias("p")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        complete = counts.filter(F.col("c") == 4).select("p")
+        keep = cur.join(
+            complete, F.shiftright(cur["m"], 2) == complete["p"], "left_anti"
+        )
+        kept.append(
+            keep.select(
+                F.lit(res).cast("long").alias("res"),
+                F.lit(res << RES_BITS_SHIFT).bitwiseOR(F.col("m")).alias("cell"),
+                F.lit(4 ** (_COMPACT_TOP - res)).cast("long").alias("n_leaves"),
+            )
+        )
+        cur = complete.select(F.col("p").alias("m"))
+    kept.append(
+        cur.select(
+            F.lit(_COMPACT_BOTTOM).cast("long").alias("res"),
+            F.lit(_COMPACT_BOTTOM << RES_BITS_SHIFT).bitwiseOR(F.col("m")).alias("cell"),
+            F.lit(4 ** (_COMPACT_TOP - _COMPACT_BOTTOM)).cast("long").alias("n_leaves"),
+        )
+    )
+    out = kept[0]
+    for k in kept[1:]:
+        out = out.unionByName(k)
+    return out

@@ -233,3 +233,54 @@ def test_bbox_cover_ranges_exact_cover():
 
     with pytest.raises(ValueError):
         bbox_cover_ranges(10.0, 0.0, -10.0, 0.0, res)
+
+
+def test_cover_compact_invariants(spark):
+    """geo_cover_compact: leaf-equivalence (sum n_leaves == input
+    size), disjointness (no output cell is an ancestor of another),
+    and maximality (no complete sibling quad survives above the
+    bottom res)."""
+    from osm_data_classification_spark.operators.geo_queries import (
+        _COMPACT_BOTTOM,
+        _COMPACT_TOP,
+        _MORTON_MASK,
+        _compact_input_ranges,
+        geo_cover_compact,
+    )
+
+    rows = geo_cover_compact(spark, "/root/testdata/sf0.001").collect()
+    n_input = sum(
+        (hi & _MORTON_MASK) - (lo & _MORTON_MASK) + 1
+        for lo, hi in _compact_input_ranges()
+    )
+    assert sum(r["n_leaves"] for r in rows) == n_input
+
+    # expand every output cell to its res-TOP leaf range; ranges must
+    # be pairwise disjoint and their union exactly the input set
+    leaf_ranges = []
+    for r in rows:
+        m = r["cell"] & _MORTON_MASK
+        shift = 2 * (_COMPACT_TOP - r["res"])
+        leaf_ranges.append((m << shift, ((m + 1) << shift) - 1))
+    leaf_ranges.sort()
+    for (l0, h0), (l1, h1) in zip(leaf_ranges, leaf_ranges[1:]):
+        assert h0 < l1  # disjoint
+    got_leaves = set()
+    for lo, hi in leaf_ranges:
+        got_leaves.update(range(lo, hi + 1))
+    want = set()
+    for lo, hi in _compact_input_ranges():
+        want.update(range(lo & _MORTON_MASK, (hi & _MORTON_MASK) + 1))
+    assert got_leaves == want
+
+    # maximality: above the bottom level no parent has all 4 children
+    from collections import Counter
+
+    per_res = {}
+    for r in rows:
+        per_res.setdefault(r["res"], []).append(r["cell"] & _MORTON_MASK)
+    for res, ms in per_res.items():
+        if res == _COMPACT_BOTTOM:
+            continue
+        parents = Counter(m >> 2 for m in ms)
+        assert all(c < 4 for c in parents.values()), (res, parents)

@@ -126,3 +126,118 @@ def webgraph_host_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.groupBy("src_host", "dst_host").agg(
         F.count(F.lit(1)).alias("n_links")
     )
+
+
+# ---------------------------------------------------------------------------
+# crawl scheduling (frontier politeness + recrawl priority)
+# ---------------------------------------------------------------------------
+
+BASE_DELAY_S = 5  # politeness floor per fetch
+
+
+def _frontier_sql() -> str:
+    from .portable import PHASH
+
+    host_id = r"CAST(regexp_extract(host, 'site(\d+)', 1) AS BIGINT)"
+    return f"""
+    WITH {PAGES_SQL},
+    frontier AS (
+        SELECT DISTINCT url,
+               regexp_extract(url, '^https?://([^/]+)/', 1) AS host
+        FROM pages
+    ),
+    ranked AS (
+        SELECT url, host,
+               ({host_id} % 10) + {BASE_DELAY_S} AS delay_s,
+               ROW_NUMBER() OVER (
+                   PARTITION BY host ORDER BY {PHASH('url')}, url
+               ) - 1 AS fetch_rank
+        FROM frontier
+    )
+    SELECT url, host, fetch_rank, delay_s,
+           fetch_rank * delay_s AS sched_offset_s
+    FROM ranked
+    """
+
+
+@_register("crawl_frontier_schedule", _frontier_sql())
+def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-scheduled crawl frontier: the distinct url set is
+    ordered within each host by a portable hash (fair, deterministic,
+    no coordination) and each fetch is offset by the host's crawl
+    delay — fetch k of a host fires k*delay seconds into the window.
+    This is the per-domain rate-limit plan a frontier shard executes.
+
+    One distinct + one per-host window; hosts are independent so the
+    window parallelizes on the host hash — the classic mega-host skew
+    (one domain with 10^9 urls serializes its partition) is exactly
+    the skew the salted-join/AQE machinery handles elsewhere, and a
+    frontier ALSO wants per-host serialization, so the shape is
+    correct, not accidental. FULL oracle: DuckDB reproduces ranks and
+    offsets from the same hash."""
+    from .portable import phash_col
+
+    pages = synth_pages(spark, sf_dir)
+    frontier = pages.select(
+        "url", F.regexp_extract("url", _HOST_RE, 1).alias("host")
+    ).distinct()
+    host_id = F.regexp_extract("host", r"site(\d+)", 1).try_cast("long")
+    delay = F.pmod(host_id, F.lit(10)) + BASE_DELAY_S
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(phash_col(F.col("url")), F.col("url"))
+    ranked = frontier.select(
+        "url",
+        "host",
+        delay.alias("delay_s"),
+        (F.row_number().over(w) - 1).cast("long").alias("fetch_rank"),
+    )
+    return ranked.select(
+        "url",
+        "host",
+        "fetch_rank",
+        "delay_s",
+        (F.col("fetch_rank") * F.col("delay_s")).alias("sched_offset_s"),
+    )
+
+
+def _recrawl_sql() -> str:
+    return f"""
+    WITH {PAGES_SQL},
+    hist AS (
+        SELECT url,
+               COUNT(*) AS n_crawls,
+               MAX(warc_ts) AS last_crawl
+        FROM pages GROUP BY url
+    )
+    SELECT url, n_crawls, last_crawl,
+           date_diff('day', last_crawl, TIMESTAMP '2024-07-01 00:00:00')
+               AS stale_days,
+           date_diff('day', last_crawl, TIMESTAMP '2024-07-01 00:00:00')
+               * n_crawls AS priority
+    FROM hist
+    """
+
+
+@_register("crawl_recrawl_priority", _recrawl_sql())
+def crawl_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recrawl prioritization: staleness (whole days between the
+    url's last crawl and the fixed scheduling epoch) weighted by
+    observed crawl frequency — frequently-recrawled pages that have
+    gone stale lead the queue. Integer day arithmetic only, so the
+    priority is engine-exact. One groupBy on url; no joins.
+    FULL oracle: DuckDB repeats the rollup and date_diff."""
+    pages = synth_pages(spark, sf_dir)
+    hist = pages.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_crawls"),
+        F.max("warc_ts").alias("last_crawl"),
+    )
+    stale = F.datediff(F.lit("2024-07-01").cast("date"), F.col("last_crawl").cast("date")).cast("long")
+    return hist.select(
+        "url",
+        "n_crawls",
+        "last_crawl",
+        stale.alias("stale_days"),
+        (stale * F.col("n_crawls")).alias("priority"),
+    )

@@ -241,3 +241,72 @@ def crawl_recrawl_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         stale.alias("stale_days"),
         (stale * F.col("n_crawls")).alias("priority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC record framing round-trip (sources/warc.py)
+# ---------------------------------------------------------------------------
+
+
+def _warc_sql() -> str:
+    link = (
+        "'<link href=\"https://site' || CAST((did * 7 + {m} * 13) % "
+        f"{N_HOSTS}"
+        " AS VARCHAR) || '.example/p/' || CAST(did * 3 + {m} AS VARCHAR)"
+        " || '\">'"
+    )
+    html = (
+        "'<html><head>' || "
+        + " || ".join(link.format(m=m) for m in (1, 2, 3))
+        + " || '</head><body>' || text || '</body></html>'"
+    )
+    return f"""
+    WITH {PAGES_SQL},
+    withhtml AS (
+        SELECT url, warc_ts, {_DID} AS did, text FROM pages
+    )
+    SELECT url, warc_ts,
+           url AS uri,
+           warc_ts AS warc_date,
+           CAST(length({html}) AS BIGINT) AS content_length,
+           md5({html}) AS payload_md5,
+           TRUE AS roundtrip_ok
+    FROM withhtml
+    """
+
+
+@_register("warc_roundtrip_parse", _warc_sql())
+def warc_roundtrip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC framing round-trip (sources/warc.py): serialize every
+    crawl into a framed header+payload record, then PARSE the record
+    column back — header fields via anchored regexps, payload sliced
+    by Content-Length from the first blank line (never by searching
+    payload bytes). Output is the parsed view + a roundtrip_ok flag
+    (parsed uri/date/payload == the original page row).
+
+    Map-only both directions; the parse is pure JVM string work. FULL
+    oracle: DuckDB derives uri/date/length/md5 straight from the
+    re-synthesized pages WITHOUT any framing — so a framing bug
+    (wrong slice offset, headers leaking into payload, length
+    miscount) value-hash-fails; the flag must be literal TRUE."""
+    from ..sources.warc import parse_warc_col, warc_records
+
+    recs = warc_records(spark, sf_dir)
+    parsed = recs.select("url", "warc_ts", *parse_warc_col(F.col("record")))
+    pages = synth_pages(spark, sf_dir).select(
+        "url", "warc_ts", F.col("html").cast("string").alias("html_s")
+    )
+    joined = parsed.join(pages, ["url", "warc_ts"])
+    return joined.select(
+        "url",
+        "warc_ts",
+        "uri",
+        "warc_date",
+        "content_length",
+        F.md5("payload").alias("payload_md5"),
+        (
+            (F.col("uri") == F.col("url"))
+            & (F.col("warc_date") == F.col("warc_ts"))
+            & (F.col("payload") == F.col("html_s"))
+        ).alias("roundtrip_ok"),
+    )

@@ -559,3 +559,37 @@ def test_outlinks_parse_matches_planted_arithmetic(spark, sf_dir):
         )
     ).count()
     assert got == 0
+
+
+def test_warc_parse_junk_records_yield_nulls(spark):
+    """A WARC reader on a real crawl sees truncated/garbage records;
+    parse_warc_col must degrade them to NULLs, never raise, and must
+    frame the payload by Content-Length even when the payload itself
+    contains header-looking bytes."""
+    import pyspark.sql.functions as F
+
+    from osm_data_classification_spark.sources.warc import parse_warc_col
+
+    evil_payload = "WARC-Target-URI: https://evil.example/\r\n\r\nx"
+    rec = (
+        "WARC/1.0\r\nWARC-Target-URI: https://a.example/p/1\r\n"
+        "WARC-Date: 2024-01-02T03:04:00Z\r\n"
+        f"Content-Length: {len(evil_payload)}\r\n\r\n{evil_payload}"
+    )
+    rows = spark.createDataFrame(
+        [
+            (rec.encode(),),
+            (b"no blank line at all",),
+            (b"WARC/1.0\r\nContent-Length: oops\r\n\r\npayload",),
+            (b"",),
+        ],
+        "record binary",
+    ).select(*parse_warc_col(F.col("record"))).collect()
+    good = rows[0]
+    assert good["uri"] == "https://a.example/p/1"
+    assert str(good["warc_date"]).startswith("2024-01-02 03:04")
+    assert good["content_length"] == len(evil_payload)
+    assert good["payload"] == evil_payload  # header-looking bytes stay payload
+    for junk in rows[1:3]:
+        assert junk["uri"] is None or junk["content_length"] is None
+    assert rows[3]["payload"] is None

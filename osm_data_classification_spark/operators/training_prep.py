@@ -363,3 +363,105 @@ def curate_mix_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("keep_ppm").alias("keep_ppm"),
         F.sum("doc_id").cast("long").alias("sum_kept_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: distributed pair counting + one merge step
+# ---------------------------------------------------------------------------
+
+_BPE_PAIRS_SQL = """
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+        SELECT substr(w, i, 2) AS pair
+        FROM words, unnest(generate_series(1, length(w) - 1)) AS t(i)
+        WHERE length(w) >= 2
+    )
+    SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair
+"""
+
+
+@_register("bpe_pair_counts", _BPE_PAIRS_SQL)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training, distributed:
+    frequency of every adjacent character pair across all corpus
+    words (occurrence-weighted — each word occurrence counts). The
+    argmax of this table is the next merge; iterating
+    count→merge→count is exactly how a tokenizer trains over 100 TB
+    without ever centralizing the corpus.
+
+    Shape: split/explode are map-side; ONE groupBy on the pair key
+    (alphabet², tiny) with map-side combine does all the reduction —
+    the shuffle carries at most |alphabet|² rows per task, not the
+    corpus. Guard that matters: Spark's sequence(1, n) with n < 1
+    generates a DESCENDING sequence rather than an empty one, so
+    single-char words must be filtered BEFORE the sequence is built.
+    FULL oracle: DuckDB recounts from scratch."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = docs.select(
+        F.explode(F.split("text", " ")).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair")
+    )
+    return pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n"))
+
+
+_BPE_MERGE_SQL = f"""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+        SELECT substr(w, i, 2) AS pair
+        FROM words, unnest(generate_series(1, length(w) - 1)) AS t(i)
+        WHERE length(w) >= 2
+    ),
+    counts AS (SELECT pair, COUNT(*) AS n FROM pairs GROUP BY pair),
+    top AS (
+        SELECT pair FROM counts ORDER BY n DESC, pair LIMIT 1
+    )
+    SELECT d.doc_id,
+           t.pair AS merged_pair,
+           md5(replace(d.text, t.pair, '⊕')) AS merged_md5,
+           CAST(
+               (length(d.text) - length(replace(d.text, t.pair, ''))) / 2
+               AS BIGINT
+           ) AS n_replaced
+    FROM documents d CROSS JOIN top t
+"""
+
+
+@_register("bpe_apply_merge", _BPE_MERGE_SQL)
+def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE merge step applied corpus-wide: take the argmax pair
+    from bpe_pair_counts (deterministic tie-break: count desc, then
+    pair) and fuse every left-to-right non-overlapping occurrence
+    into a single symbol (⊕). Emits per-doc merged-text md5 and the
+    replacement count, so the whole rewritten corpus is value-pinned.
+
+    The 1-row argmax crosses back onto the corpus as a broadcast
+    nested-loop join (both engines replace left-to-right
+    non-overlapping, so 'aaa' with pair 'aa' fuses once — semantics
+    agree). Count+argmax is one tiny agg; the rewrite is map-only.
+    FULL oracle: DuckDB repeats count, argmax, and rewrite."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    counts = bpe_pair_counts(spark, sf_dir)
+    top = counts.orderBy(F.desc("n"), F.asc("pair")).limit(1).select("pair")
+    joined = docs.crossJoin(F.broadcast(top))
+    merged = F.replace(F.col("text"), F.col("pair"), F.lit("⊕"))
+    n_replaced = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.col("pair"), F.lit(""))))
+        / 2
+    ).cast("long")
+    return joined.select(
+        "doc_id",
+        F.col("pair").alias("merged_pair"),
+        F.md5(merged).alias("merged_md5"),
+        n_replaced.alias("n_replaced"),
+    )

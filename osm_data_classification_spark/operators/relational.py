@@ -1108,3 +1108,98 @@ def stream_dedup_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# table profiling (ANALYZE-style column statistics)
+# ---------------------------------------------------------------------------
+
+_PROFILE_SQL = """
+    WITH s AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(event_id) AS null_event_id,
+               COUNT(DISTINCT event_id) AS ndv_event_id,
+               CAST(MIN(event_id) AS VARCHAR) AS min_event_id,
+               CAST(MAX(event_id) AS VARCHAR) AS max_event_id,
+               COUNT(*) - COUNT(ts) AS null_ts,
+               COUNT(DISTINCT ts) AS ndv_ts,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS min_ts,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts,
+               COUNT(*) - COUNT(user_id) AS null_user_id,
+               COUNT(DISTINCT user_id) AS ndv_user_id,
+               CAST(MIN(user_id) AS VARCHAR) AS min_user_id,
+               CAST(MAX(user_id) AS VARCHAR) AS max_user_id,
+               COUNT(*) - COUNT(event_type) AS null_event_type,
+               COUNT(DISTINCT event_type) AS ndv_event_type,
+               MIN(event_type) AS min_event_type,
+               MAX(event_type) AS max_event_type,
+               COUNT(*) - COUNT(value) AS null_value,
+               COUNT(DISTINCT value) AS ndv_value,
+               CAST(CAST(round(MIN(value) * 100) AS BIGINT) AS VARCHAR)
+                   AS min_value,
+               CAST(CAST(round(MAX(value) * 100) AS BIGINT) AS VARCHAR)
+                   AS max_value
+        FROM events
+    )
+    SELECT t.col, t.n_rows, t.n_null, t.n_distinct, t.min_repr, t.max_repr
+    FROM s, LATERAL (
+        VALUES
+        ('event_id', n_rows, null_event_id, ndv_event_id, min_event_id, max_event_id),
+        ('ts', n_rows, null_ts, ndv_ts, min_ts, max_ts),
+        ('user_id', n_rows, null_user_id, ndv_user_id, min_user_id, max_user_id),
+        ('event_type', n_rows, null_event_type, ndv_event_type, min_event_type, max_event_type),
+        ('value', n_rows, null_value, ndv_value, min_value, max_value)
+    ) AS t(col, n_rows, n_null, n_distinct, min_repr, max_repr)
+"""
+
+
+@register("stats_table_profile", _PROFILE_SQL)
+def stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column statistics for the events table — rows,
+    nulls, exact NDV, min/max — unpivoted to one row per column (the
+    stats a cost-based planner and a data-quality monitor both feed
+    on). Numeric min/max render through integer scaling (value → x100
+    BIGINT) and timestamps through a fixed microsecond format, so the
+    representations are engine-exact — never raw float-to-string.
+
+    ONE aggregation pass over the table computes every metric
+    (exact NDV adds Expand ×5, the price of exactness — the approx
+    ladder is agg_approx_distinct's job); the unpivot is a literal
+    inline table over the 1-row aggregate. FULL oracle: DuckDB runs
+    the same profile via LATERAL VALUES."""
+    ev = load_table(spark, sf_dir, "events")
+    n = F.count(F.lit(1))
+    aggs = [n.alias("n_rows")]
+    cols = ["event_id", "ts", "user_id", "event_type", "value"]
+    for c in cols:
+        aggs += [
+            (n - F.count(c)).alias(f"null_{c}"),
+            F.countDistinct(c).alias(f"ndv_{c}"),
+        ]
+    aggs += [
+        F.min("event_id").cast("string").alias("min_event_id"),
+        F.max("event_id").cast("string").alias("max_event_id"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("max_ts"),
+        F.min("user_id").cast("string").alias("min_user_id"),
+        F.max("user_id").cast("string").alias("max_user_id"),
+        F.min("event_type").alias("min_event_type"),
+        F.max("event_type").alias("max_event_type"),
+        F.round(F.min("value") * 100).cast("long").cast("string").alias("min_value"),
+        F.round(F.max("value") * 100).cast("long").cast("string").alias("max_value"),
+    ]
+    s = ev.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"null_{c}").alias("n_null"),
+                F.col(f"ndv_{c}").alias("n_distinct"),
+                F.col(f"min_{c}").alias("min_repr"),
+                F.col(f"max_{c}").alias("max_repr"),
+            )
+            for c in cols
+        ]
+    )
+    return s.select(F.inline(rows))

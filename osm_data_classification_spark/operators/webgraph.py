@@ -310,3 +310,59 @@ def warc_roundtrip_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("payload") == F.col("html_s"))
         ).alias("roundtrip_ok"),
     )
+
+
+def _gini_sql() -> str:
+    return f"""
+    WITH {PAGES_SQL},
+    hosts AS (
+        SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+               COUNT(*) AS n_pages
+        FROM pages GROUP BY 1
+    ),
+    ranked AS (
+        SELECT n_pages,
+               ROW_NUMBER() OVER (ORDER BY n_pages, host) AS rnk
+        FROM hosts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_hosts,
+           CAST(SUM(n_pages) AS BIGINT) AS total_pages,
+           CAST(
+               (2 * CAST(SUM(rnk * n_pages) AS BIGINT)
+                 - (COUNT(*) + 1) * CAST(SUM(n_pages) AS BIGINT))
+               * 1000000
+               // (COUNT(*) * CAST(SUM(n_pages) AS BIGINT))
+               AS BIGINT
+           ) AS gini_ppm
+    FROM ranked
+    """
+
+
+@_register("crawl_host_gini", _gini_sql())
+def crawl_host_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-balance audit: the Gini coefficient of pages-per-host in
+    parts-per-million — 0 = perfectly even crawl, →1e6 = one mega
+    host dominates. All-integer rank formula (2·Σrank·x − (n+1)·T
+    over n·T), so the scaled coefficient is engine-exact; the rank
+    window's global ORDER BY runs over the HOST rollup (domain
+    cardinality), never the page table.
+
+    FULL oracle: DuckDB repeats the rollup, ranking, and integer
+    arithmetic (sums CAST to BIGINT before the ratio — the HUGEINT
+    float-rendering lesson)."""
+    from pyspark.sql import Window
+
+    pages = synth_pages(spark, sf_dir)
+    hosts = pages.groupBy(
+        F.regexp_extract("url", _HOST_RE, 1).alias("host")
+    ).agg(F.count(F.lit(1)).alias("n_pages"))
+    w = Window.orderBy("n_pages", "host")
+    ranked = hosts.select("n_pages", F.row_number().over(w).alias("rnk"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.sum("n_pages").alias("total_pages"),
+        F.expr(
+            "CAST((2 * SUM(rnk * n_pages) - (COUNT(*) + 1) * SUM(n_pages))"
+            " * 1000000 div (COUNT(*) * SUM(n_pages)) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

@@ -72,13 +72,20 @@ PRIORITY: tuple[str, ...] = (
     "stream_tile_ladder",
     # the shuffle-cover PIP regime under the value oracle (VERDICT #7)
     "geo_pip_join_shuffle",
+    # fifth-session rotation: eight never-driver-graded novel entries
+    # (hotspot clustering, cover compaction, Z-order window scan,
+    # raster->vector, outlink parsing, WARC framing, BPE counting,
+    # global shuffle) take the slots of eight plain-Catalyst TPC-H
+    # shapes (q2/q4/q6/q7/q8/q9/q10/q19 — each verify_local-green +
+    # low-risk straight SQL; q5/q18/q14/q21 keep window slots as the
+    # family's representatives). Displaced shapes queue for r4.
     # web-curation ops + sketch-bound verdicts + TPC-H shapes (r3)
     "url_canonicalize",
     "text_repetition_metrics",
     "dedup_paragraph_global",
     "agg_quantile_bound",
-    "sql_tpch_q6",
-    "sql_tpch_q4",
+    "geo_cluster_dense_cells",
+    "geo_cover_compact",
     "sql_tpch_q14",
     "dedup_url_canonical",
     "text_pii_scrub",
@@ -96,16 +103,16 @@ PRIORITY: tuple[str, ...] = (
     "host_agg",
     "curate_corpus_funnel",
     "dedup_decontaminate",
-    "sql_tpch_q7",
-    "sql_tpch_q10",
-    "sql_tpch_q19",
+    "geo_bbox_cells_query",
+    "geo_tile_vectorize",
+    "webgraph_outlinks",
     # int8-domain retrieval (displaces q12; its conditional-agg-over-
     # join shape stays graded via q14/q8 and the local sweep)
     "ann_int8_topk",
     # the TPC-H completion set (this session): all 22 shapes now exist
-    "sql_tpch_q2",
-    "sql_tpch_q8",
-    "sql_tpch_q9",
+    "warc_roundtrip_parse",
+    "bpe_pair_counts",
+    "sample_global_shuffle",
     # mix-weights applied end-to-end (displaces q11; its scalar-
     # subquery-threshold shape stays graded via sql_correlated_subquery)
     "curate_mix_apply",

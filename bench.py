@@ -44,6 +44,8 @@ HEADLINE = [
     "sql_tpch_q5",            # deepest join chain (6-way, SQL surface)
     "gopher_quality_filter",  # scan-side doc filter (zip_with + HOFs)
     "embed_quantize_int8",    # map-only int8 vector recode
+    "webgraph_host_degree",   # html parse -> host-graph rollup (s5)
+    "bpe_pair_counts",        # tokenizer-training inner loop (s5)
 ]
 
 

@@ -1064,3 +1064,57 @@ def geo_cover_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in kept[1:]:
         out = out.unionByName(k)
     return out
+
+# ---------------------------------------------------------------------------
+# time-decayed tile heat (temporal-geo rollup)
+# ---------------------------------------------------------------------------
+
+_HEAT_EPOCH = "2024-07-01"  # scoring epoch (after every warc_ts)
+_HEAT_HALF_LIFE_DAYS = 7
+_HEAT_SCALE_POW = 30  # weight = 2^max(30 - age_halflives, 0), integer-exact
+# crawl ages at the fixed epoch span 92-182 days = 13-26 half-lives, so
+# the exponent is clamped at 0 (a >30-half-life page still counts 1)
+
+
+def _tile_heat_sql() -> str:
+    res = 7
+    age = f"date_diff('day', warc_ts, TIMESTAMP '{_HEAT_EPOCH} 00:00:00')"
+    w = (f"(1::BIGINT << greatest({_HEAT_SCALE_POW} - ({age} // {_HEAT_HALF_LIFE_DAYS}), 0))")
+    return f"""
+    WITH {PAGES_SQL}
+    SELECT {CELL_SQL('lon', 'lat', res)} AS cell,
+           COUNT(*) AS n_pages,
+           CAST(SUM({w}) AS BIGINT) AS heat_x2p20
+    FROM pages GROUP BY 1
+    """
+
+
+@_register("geo_tile_heat_decay", _tile_heat_sql())
+def geo_tile_heat_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted tile heat: each crawl contributes
+    2^max(30 − age_in_half_lives, 0) — an exponential 7-day-half-life
+    decay kept ENTIRELY in integer arithmetic (crawl ages at the
+    fixed epoch span 13–26 half-lives; the clamp keeps the shift
+    count non-negative — an UNclamped 20-wide scale overflowed BIGINT
+    the first time, because shiftleft by a negative count silently
+    wraps — and the BIGINT sum stays order-independent and
+    engine-exact; no float pow anywhere). The freshness-weighted heatmap a crawl monitor
+    renders over the tile grid.
+
+    One groupBy with map-side combine, same shape as geo_tile_agg.
+    FULL oracle: DuckDB repeats the shift-and-sum."""
+    pages = geocoded_pages(spark, sf_dir, res=7)
+    age_days = F.datediff(
+        F.lit(_HEAT_EPOCH).cast("date"), F.col("warc_ts").cast("date")
+    ).cast("long")
+    halflives = (age_days / _HEAT_HALF_LIFE_DAYS).cast("int")
+    # pyspark's shiftleft() only takes a literal shift count; the SQL
+    # function form accepts an expression for it
+    weight = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), greatest({_HEAT_SCALE_POW} - __hl, 0))"
+    )
+    pages = pages.withColumn("__hl", halflives)
+    return pages.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(weight).alias("heat_x2p20"),
+    )

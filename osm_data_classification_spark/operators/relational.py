@@ -1203,3 +1203,26 @@ def stats_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return s.select(F.inline(rows))
+
+
+_GSETS_SQL = """
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), ())
+"""
+
+
+@register("rollup_grouping_sets", _GSETS_SQL)
+def rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 family, explicit GROUPING SETS: per-language totals,
+    per-source totals, and the grand total in ONE pass — the
+    non-hierarchical slice list that neither ROLLUP (prefix-nested)
+    nor CUBE (all 4 combos) expresses; Catalyst plans it as a single
+    Expand + aggregate, not three scans.
+
+    FULL oracle: DuckDB evaluates the same GROUPING SETS clause —
+    NULL slice markers and all."""
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("documents")
+    return spark.sql(_GSETS_SQL)

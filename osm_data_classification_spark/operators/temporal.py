@@ -298,3 +298,52 @@ def null_handling_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("user_id").isNull().cast("int") + F.col("value").isNull().cast("int")
         ).alias("n_nulls"),
     )
+
+
+# ---------------------------------------------------------------------------
+# value-based (RANGE) window frame — time-windowed running aggregate
+# ---------------------------------------------------------------------------
+
+_RANGE_SECONDS = 3600  # trailing 1h, inclusive frame bounds
+
+
+@_register(
+    "window_range_trailing_sum",
+    f"""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY (epoch_ms(ts) // 1000)
+               RANGE BETWEEN {_RANGE_SECONDS} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_cents,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY (epoch_ms(ts) // 1000)
+               RANGE BETWEEN {_RANGE_SECONDS} PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS trailing_events
+    FROM events
+    """,
+)
+def window_range_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-family, RANGE frame: per user, the trailing-1-hour sum and
+    count at every event — a VALUE-based frame over the epoch-seconds
+    ordering (two events 30 min apart share window contents however
+    many rows sit between them), which rows-based frames cannot
+    express. Values sum as x100 integer cents so the running total is
+    engine-exact regardless of accumulation order.
+
+    One window, partitioned by user (hash-parallel); the frame is
+    bounded by the 1h span so state per partition stays small even on
+    dense users. FULL oracle: DuckDB runs the identical RANGE frame."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-_RANGE_SECONDS, Window.currentRow)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(cents).over(w).alias("trailing_cents"),
+        F.count(F.lit(1)).over(w).alias("trailing_events"),
+    )

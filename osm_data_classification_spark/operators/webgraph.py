@@ -366,3 +366,75 @@ def crawl_host_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 div (COUNT(*) * SUM(n_pages)) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt prefix filtering over the frontier
+# ---------------------------------------------------------------------------
+
+ROBOTS_MOD = 5  # hosts with id % 5 == 0 publish a Disallow rule
+
+
+def _robots_sql() -> str:
+    host_id = r"CAST(regexp_extract(host, 'site(\d+)', 1) AS BIGINT)"
+    return f"""
+    WITH {PAGES_SQL},
+    frontier AS (
+        SELECT DISTINCT url,
+               regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+               '/' || regexp_extract(url, '^https?://[^/]+/(.*)$', 1) AS path
+        FROM pages
+    ),
+    rules AS (
+        SELECT host,
+               CASE WHEN {host_id} % {ROBOTS_MOD} = 0
+                    THEN '/p/' || CAST({host_id} % 10 AS VARCHAR)
+               END AS disallow
+        FROM (SELECT DISTINCT host FROM frontier)
+    )
+    SELECT f.url, f.host, r.disallow,
+           (r.disallow IS NOT NULL
+            AND starts_with(f.path, r.disallow)) AS blocked
+    FROM frontier f JOIN rules r USING (host)
+    """
+
+
+@_register("crawl_robots_filter", _robots_sql())
+def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt enforcement over the frontier: a per-host rules
+    table (synthesized — every 5th host disallows one /p/<digit>
+    path prefix) joins the frontier on host and urls are flagged by
+    PREFIX match, the actual robots.txt Disallow semantics (so
+    /p/1 blocks /p/1, /p/10, /p/199…).
+
+    The rules table is domain-cardinality — tiny next to the url set
+    — so the join broadcasts; the prefix test is one JVM
+    startswith. FULL oracle: DuckDB rebuilds rules and flags from
+    the same arithmetic."""
+    pages = synth_pages(spark, sf_dir)
+    frontier = pages.select(
+        "url",
+        F.regexp_extract("url", _HOST_RE, 1).alias("host"),
+        F.concat(F.lit("/"), F.regexp_extract("url", r"^https?://[^/]+/(.*)$", 1)).alias(
+            "path"
+        ),
+    ).distinct()
+    hosts = frontier.select("host").distinct()
+    host_id = F.regexp_extract("host", r"site(\d+)", 1).try_cast("long")
+    rules = hosts.select(
+        "host",
+        F.when(
+            F.pmod(host_id, F.lit(ROBOTS_MOD)) == 0,
+            F.concat(F.lit("/p/"), F.pmod(host_id, F.lit(10)).cast("string")),
+        ).alias("disallow"),
+    )
+    joined = frontier.join(F.broadcast(rules), "host")
+    return joined.select(
+        "url",
+        "host",
+        "disallow",
+        (
+            F.col("disallow").isNotNull()
+            & F.col("path").startswith(F.col("disallow"))
+        ).alias("blocked"),
+    )

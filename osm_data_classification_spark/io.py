@@ -393,3 +393,87 @@ def run_stage(
         return checkpoint_read(spark, path)
     checkpoint_write(build(), path, cell_col=cell_col)
     return checkpoint_read(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# Partition-granular resume (BASELINE.json:6 "exact resume-from-checkpoint")
+# ---------------------------------------------------------------------------
+
+
+def partitioned_checkpoint_write(df: DataFrame, path: str, part_col: str) -> None:
+    """Checkpoint a stage partitioned by ``part_col`` (hive layout:
+    ``data/{part_col}=v/``) plus a PER-VALUE lineage table
+    ``(part, output_rows, checksum)`` — the unit of resume is one
+    partition value, not the whole stage."""
+    df.write.mode("overwrite").partitionBy(part_col).parquet(
+        os.path.join(path, "data")
+    )
+    spark = df.sparkSession
+    data = spark.read.parquet(os.path.join(path, "data")).select(*df.columns)
+    lin = (
+        data.withColumn("__h", row_checksum(data.drop(part_col)))
+        .groupBy(part_col)
+        .agg(
+            F.count(F.lit(1)).alias("output_rows"),
+            F.pmod(
+                F.sum(F.col("__h").cast("decimal(38,0)")),
+                F.lit(2**62).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("checksum"),
+        )
+    )
+    lin.write.mode("overwrite").parquet(os.path.join(path, "_lineage"))
+
+
+def resume_partitions(
+    spark: SparkSession, path: str, part_col: str, recompute
+) -> tuple[DataFrame, list]:
+    """Heal a partitioned checkpoint: diff the on-disk data against
+    the lineage table per partition value (missing directory, row
+    count drift, or checksum drift → damaged) and recompute ONLY the
+    damaged partitions via ``recompute(spark)`` filtered to them,
+    rewriting each with dynamic partition overwrite. Healthy
+    partitions are never re-read beyond the audit and never
+    rewritten — resume cost is O(damage), not O(stage)
+    (BASELINE.json:6: per-partition lineage enables exact resume).
+
+    Returns (healed DataFrame, list of healed partition values)."""
+    lin_p = os.path.join(path, "_lineage")
+    data_p = os.path.join(path, "data")
+    expected = {
+        r[part_col]: (r["output_rows"], r["checksum"])
+        for r in spark.read.parquet(lin_p).collect()
+    }
+    try:
+        data = spark.read.parquet(data_p)
+        cols = [c for c in data.columns]
+        actual = {
+            r[part_col]: (r["output_rows"], r["checksum"])
+            for r in (
+                data.withColumn("__h", row_checksum(data.drop(part_col)))
+                .groupBy(part_col)
+                .agg(
+                    F.count(F.lit(1)).alias("output_rows"),
+                    F.pmod(
+                        F.sum(F.col("__h").cast("decimal(38,0)")),
+                        F.lit(2**62).cast("decimal(38,0)"),
+                    )
+                    .cast("long")
+                    .alias("checksum"),
+                )
+                .collect()
+            )
+        }
+    except Exception:
+        actual = {}
+    damaged = [p for p, exp in expected.items() if actual.get(p) != exp]
+    if damaged:
+        fresh = recompute(spark).filter(F.col(part_col).isin(damaged))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            fresh.write.mode("overwrite").partitionBy(part_col).parquet(data_p)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return spark.read.parquet(data_p), damaged

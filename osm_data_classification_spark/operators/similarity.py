@@ -548,3 +548,51 @@ def ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "cid", "int8_dot", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding drift monitor (per-group centroid audit)
+# ---------------------------------------------------------------------------
+
+_DRIFT_DIMS = 4
+_DRIFT_SCALE = 1_000_000
+
+
+def _drift_sql() -> str:
+    comps = ",\n           ".join(
+        f"CAST(SUM(CAST(floor(CAST(embedding[{d + 1}] AS DOUBLE)"
+        f" * {_DRIFT_SCALE}.0) AS BIGINT)) AS BIGINT) AS c{d}_sum"
+        for d in range(_DRIFT_DIMS)
+    )
+    return f"""
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           {comps}
+    FROM embeddings
+    GROUP BY label
+    """
+
+
+@_register("embed_drift_centroid", _drift_sql())
+def embed_drift_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor: per-label centroid numerators over the
+    first 4 dimensions, each component floored to x1e6 integer units
+    BEFORE summing (floor, not round — the int8-quantize lesson: no
+    half-tie rule to reconcile cross-engine; float32→double is exact,
+    the double multiply is IEEE-identical, and the BIGINT sum is
+    order-free). Comparing snapshots of this table across ingests is
+    how a training pipeline detects embedding-space drift without
+    shipping vectors anywhere.
+
+    One groupBy on the label key, map-side combined; output rows =
+    label cardinality. FULL oracle: DuckDB repeats the floor-and-sum."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    aggs = [F.count(F.lit(1)).alias("n_vecs")] + [
+        F.sum(
+            F.floor(
+                F.col("embedding").getItem(d).cast("double") * _DRIFT_SCALE
+            ).cast("long")
+        ).alias(f"c{d}_sum")
+        for d in range(_DRIFT_DIMS)
+    ]
+    return emb.groupBy("label").agg(*aggs)

@@ -1118,3 +1118,109 @@ def geo_tile_heat_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pages"),
         F.sum(weight).alias("heat_x2p20"),
     )
+
+# ---------------------------------------------------------------------------
+# polyfill: polygon -> covering cells by center-in-polygon (H3 API)
+# ---------------------------------------------------------------------------
+
+_POLYFILL_BID = 2  # a concave L-shape — nontrivial fill structure
+_POLYFILL_RES = 8
+
+
+def _polyfill_grid() -> tuple[int, int, int, int]:
+    """Candidate (x0, x1, y0, y1) cell window at _POLYFILL_RES: the
+    polygon's vertex bbox mapped to grid coordinates (inclusive)."""
+    from ..geo.pip_sql import polygon_rings
+
+    ring = next(r for bid, r in polygon_rings() if bid == _POLYFILL_BID)
+    n = 1 << _POLYFILL_RES
+    xs = [p[0] for p in ring]
+    ys = [p[1] for p in ring]
+    x0 = int((min(xs) + 180.0) / 360.0 * n)
+    x1 = int((max(xs) + 180.0) / 360.0 * n)
+    y0 = int((min(ys) + 90.0) / 180.0 * n)
+    y1 = int((max(ys) + 90.0) / 180.0 * n)
+    return x0, min(x1, n - 1), y0, min(y1, n - 1)
+
+
+def _polyfill_sql() -> str:
+    from ..geo.pip_sql import polygon_rings
+
+    res = _POLYFILL_RES
+    n = 1 << res
+    x0, x1, y0, y1 = _polyfill_grid()
+    ring = next(r for bid, r in polygon_rings() if bid == _POLYFILL_BID)
+    segs = ",\n               ".join(
+        f"({a[0]!r}, {a[1]!r}, {b[0]!r}, {b[1]!r})"
+        for a, b in zip(ring[:-1], ring[1:])
+    )
+    lon_c = f"(-180.0 + (x * 2 + 1) * {360.0 / (2 * n)!r})"
+    lat_c = f"(-90.0 + (y * 2 + 1) * {180.0 / (2 * n)!r})"
+    return f"""
+    WITH grid AS (
+        SELECT x, y, {lon_c} AS lon_c, {lat_c} AS lat_c
+        FROM unnest(generate_series({x0}, {x1})) AS tx(x),
+             unnest(generate_series({y0}, {y1})) AS ty(y)
+    ),
+    segs(x1, y1, x2, y2) AS (VALUES {segs}),
+    crossed AS (
+        SELECT g.x, g.y, g.lon_c, g.lat_c,
+               sum(CASE WHEN (s.y1 > g.lat_c) <> (s.y2 > g.lat_c)
+                         AND g.lon_c < s.x1 + (g.lat_c - s.y1)
+                             * (s.x2 - s.x1) / (s.y2 - s.y1)
+                        THEN 1 ELSE 0 END) AS nx
+        FROM grid g CROSS JOIN segs s
+        GROUP BY g.x, g.y, g.lon_c, g.lat_c
+    )
+    SELECT ({res << RES_BITS_SHIFT} | {SPREAD('x')} | ({SPREAD('y')} << 1))
+               AS cell,
+           lon_c, lat_c
+    FROM crossed WHERE nx % 2 = 1
+    """
+
+
+@_register("geo_polyfill", _polyfill_sql())
+def geo_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H3-style polyfill: every res-8 cell whose CENTER lies inside
+    the concave L-shaped literal polygon (center-in semantics, the
+    H3/S2 polyfill contract). The candidate window is the polygon's
+    bbox in grid coordinates; membership runs through the SAME
+    ray-cast refine path as the PIP join (PackedPolygons + Arrow
+    kernel), so polyfill is the join machinery pointed at generated
+    cell centers instead of pages — no second geometry code path to
+    drift.
+
+    At scale the candidate grid is generated distributed (explode of
+    two sequences, no driver-side cell list) and the refine is the
+    bounded Arrow batch kernel. FULL oracle: DuckDB ray-casts the
+    same dyadic-exact centers against the same literal segments."""
+    from ..geo.cells import cell_from_xy_col
+    from ..geo.pip import PackedPolygons
+    from ..geo.pip_sql import boundary_rows
+
+    res, n = _POLYFILL_RES, 1 << _POLYFILL_RES
+    x0, x1, y0, y1 = _polyfill_grid()
+    packed = PackedPolygons.from_rows(
+        [r for r in boundary_rows() if r[0] == _POLYFILL_BID]
+    )
+    bounds = spark.createDataFrame(
+        [(x0, x1, y0, y1)], "x0 long, x1 long, y0 long, y1 long"
+    )
+    grid = (
+        bounds.select(
+            F.explode(F.sequence("x0", "x1")).alias("x"), "y0", "y1"
+        )
+        .select("x", F.explode(F.sequence("y0", "y1")).alias("y"))
+        .select(
+            "x",
+            "y",
+            (F.lit(-180.0) + (F.col("x") * 2 + 1) * F.lit(360.0 / (2 * n))).alias("lon"),
+            (F.lit(-90.0) + (F.col("y") * 2 + 1) * F.lit(180.0 / (2 * n))).alias("lat"),
+        )
+    )
+    inside = pip_join(grid, packed, res=res)
+    return inside.select(
+        cell_from_xy_col(F.col("x"), F.col("y"), res).alias("cell"),
+        F.col("lon").alias("lon_c"),
+        F.col("lat").alias("lat_c"),
+    )

@@ -622,3 +622,47 @@ GROUP BY cntrycode
 """
 
 _register_sql("sql_tpch_q22", _Q22_BODY)
+
+
+# Recursive CTE (Spark 4 WITH RECURSIVE — SQL-surface row): depth of
+# every host in the implicit binary-tree hierarchy child i -> parent
+# (i-1) div 2, plus the subtree-rooted host count per depth. Purely
+# integer recursion, identical semantics in both engines; the dialect
+# twin differs only in integer-division spelling and series generation.
+_RCTE_SPARK = """
+WITH RECURSIVE hosts AS (
+    SELECT explode(sequence(0, 96)) AS i
+),
+d(i, depth) AS (
+    SELECT 0, 0
+    UNION ALL
+    SELECT h.i, d.depth + 1
+    FROM hosts h JOIN d ON d.i = (h.i - 1) div 2
+    WHERE h.i > 0
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       COUNT(*) AS n_hosts,
+       CAST(MIN(i) AS BIGINT) AS first_host,
+       CAST(MAX(i) AS BIGINT) AS last_host
+FROM d GROUP BY depth
+"""
+
+_RCTE_DUCK = """
+WITH RECURSIVE hosts AS (
+    SELECT unnest(generate_series(0, 96)) AS i
+),
+d(i, depth) AS (
+    SELECT 0, 0
+    UNION ALL
+    SELECT h.i, d.depth + 1
+    FROM hosts h JOIN d ON d.i = (h.i - 1) // 2
+    WHERE h.i > 0
+)
+SELECT CAST(depth AS BIGINT) AS depth,
+       COUNT(*) AS n_hosts,
+       CAST(MIN(i) AS BIGINT) AS first_host,
+       CAST(MAX(i) AS BIGINT) AS last_host
+FROM d GROUP BY depth
+"""
+
+_register_sql("sql_recursive_hierarchy", _RCTE_SPARK, _RCTE_DUCK)

@@ -196,6 +196,16 @@ EMPTY_INPUT_QUERIES = [
     # training prep: chunking explodes to zero rows on zero docs; packing's
     # windows are empty-safe
     "text_chunk_tokens", "sample_pack_sequences",
+    # fifth-session batch (crawl_host_gini / bpe_apply_merge /
+    # stats_table_profile are agg-without-groupBy or agg-fed -> excluded
+    # like agg_approx_distinct; geo_cover_compact / geo_polyfill /
+    # sql_recursive_hierarchy take no table input at all)
+    "geo_cell_neighbors", "geo_cluster_dense_cells", "geo_tile_vectorize",
+    "geo_bbox_cells_query", "geo_tile_heat_decay", "sample_global_shuffle",
+    "webgraph_outlinks", "webgraph_host_degree", "crawl_frontier_schedule",
+    "crawl_recrawl_priority", "crawl_robots_filter", "warc_roundtrip_parse",
+    "bpe_pair_counts", "rollup_grouping_sets", "window_range_trailing_sum",
+    "embed_drift_centroid",
 ]
 
 

@@ -347,3 +347,151 @@ def window_range_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).over(w).alias("trailing_cents"),
         F.count(F.lit(1)).over(w).alias("trailing_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# batch sessionization (gap-based session ids + per-session rollup)
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_S = 1800  # 30 min
+
+
+@_register(
+    "sessionize_events",
+    f"""
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN (epoch_ms(ts) // 1000)
+                      - (epoch_ms(LAG(ts) OVER w) // 1000) > {_SESSION_GAP_S}
+                      OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts,
+               CAST(SUM(is_start) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS session_seq
+        FROM marked
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           (epoch_ms(MAX(ts)) // 1000) - (epoch_ms(MIN(ts)) // 1000)
+               AS duration_s
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization — the lag-mark-cumsum idiom: an
+    event starts a new session when it follows its user's previous
+    event by more than 30 minutes; the running sum of start marks
+    numbers the sessions; one groupBy rolls each session up. (The
+    streaming twin is stream_session_agg's session_window — this is
+    the batch/backfill formulation of the same semantics.)
+
+    Two windows + a groupBy, all partitioned by user_id — dense users
+    sort within their partition, nothing global. Gap arithmetic runs
+    on second-truncated epochs on BOTH engines (the RANGE-frame
+    lesson: DuckDB's raw epoch is fractional). FULL oracle: DuckDB
+    evaluates the identical idiom."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    prev_sec = F.unix_timestamp(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            prev_sec.isNull() | ((sec - prev_sec) > _SESSION_GAP_S), 1
+        ).otherwise(0).alias("is_start"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    numbered = marked.select(
+        "user_id", "event_id", "ts", F.sum("is_start").over(wc).alias("session_seq")
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "duration_s"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ordered conversion funnel (view -> click -> purchase)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "funnel_conversion",
+    """
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    ),
+    flags AS (
+        SELECT user_id,
+               (t_view IS NOT NULL) AS viewed,
+               (t_view IS NOT NULL AND t_click > t_view) AS clicked_after,
+               (t_view IS NOT NULL AND t_click > t_view
+                AND t_purchase > t_click) AS purchased_after
+        FROM stages
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN viewed THEN 1 ELSE 0 END) AS BIGINT)
+               AS stage_view,
+           CAST(SUM(CASE WHEN clicked_after THEN 1 ELSE 0 END) AS BIGINT)
+               AS stage_click,
+           CAST(SUM(CASE WHEN purchased_after THEN 1 ELSE 0 END) AS BIGINT)
+               AS stage_purchase
+    FROM flags
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: a user advances a stage only if its
+    FIRST occurrence strictly follows the previous stage's first
+    occurrence (view < click < purchase) — first-touch attribution,
+    the standard product-analytics funnel. The conditional-min
+    pivot computes all stage timestamps in ONE groupBy pass; NULL
+    comparisons are three-valued (t_click > NULL is NULL, never
+    true), which both engines share, so the boolean flags are exact.
+
+    One per-user agg + one global 1-row rollup. FULL oracle: DuckDB
+    repeats the conditional-min funnel (sums CAST to BIGINT)."""
+    ev = load_table(spark, sf_dir, "events")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    flags = stages.select(
+        viewed.alias("viewed"),
+        clicked.alias("clicked_after"),
+        purchased.alias("purchased_after"),
+    )
+    one = F.lit(1)
+    return flags.agg(
+        F.count(one).alias("n_users"),
+        F.sum(F.when(F.col("viewed"), one).otherwise(0)).alias("stage_view"),
+        F.sum(F.when(F.col("clicked_after"), one).otherwise(0)).alias("stage_click"),
+        F.sum(F.when(F.col("purchased_after"), one).otherwise(0)).alias(
+            "stage_purchase"
+        ),
+    )

@@ -1224,3 +1224,85 @@ def geo_polyfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lon").alias("lon_c"),
         F.col("lat").alias("lat_c"),
     )
+
+# ---------------------------------------------------------------------------
+# fixed-radius neighbor join (range search)
+# ---------------------------------------------------------------------------
+
+_RADIUS_DEG = 2.0
+_RADIUS_RES = 5  # cell 11.25 x 5.625 deg >= radius -> 1-ring suffices
+
+
+def _radius_join_sql() -> str:
+    r2 = _RADIUS_DEG * _RADIUS_DEG
+    return f"""
+    WITH {PAGES_SQL},
+    pts AS (SELECT DISTINCT url, lon, lat FROM pages)
+    SELECT a.url AS qid, b.url AS cid,
+           (a.lon - b.lon) * (a.lon - b.lon)
+             + (a.lat - b.lat) * (a.lat - b.lat) AS dist_sq
+    FROM pts a JOIN pts b
+      ON a.url <> b.url
+     AND (a.lon - b.lon) * (a.lon - b.lon)
+           + (a.lat - b.lat) * (a.lat - b.lat) <= {r2!r}
+    """
+
+
+@_register("geo_radius_join", _radius_join_sql())
+def geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6's sibling: fixed-radius neighbor join (range search) — every
+    pair of distinct pages within 2° planar distance. Grid-partitioned:
+    the left side explodes its 3×3 cell ring at a resolution whose
+    cell EXCEEDS the radius (so one ring is provably complete: any
+    pair within r lands in adjacent cells), equi-joins the right side
+    on the ring cell, and an exact distance filter drops ring
+    false-positives. The mega-token hot cells make this genuinely
+    skewed — co-located points produce quadratic LOCAL pairs, which
+    is inherent to the QUERY (the answer itself is quadratic there),
+    not to the plan; AQE's skew split spreads the hot cell's pair
+    generation across tasks.
+
+    One shuffle per side on the cell key; no cartesian anywhere. FULL
+    oracle: DuckDB brute-forces all pairs with the same IEEE distance
+    expression."""
+    from ..geo.cells import xy_cols
+
+    res, n = _RADIUS_RES, 1 << _RADIUS_RES
+    r2 = _RADIUS_DEG * _RADIUS_DEG
+    pts = (
+        geocoded_pages(spark, sf_dir, res=res)
+        .dropDuplicates(["url"])
+        .select("url", "lon", "lat")
+    )
+    x, y = xy_cols(F.col("lon"), F.col("lat"), res)
+    left = pts.select(F.col("url").alias("qid"), F.col("lon").alias("qlon"), F.col("lat").alias("qlat"), x.alias("x"), y.alias("y"))
+    ring = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    probes = (
+        left.select("qid", "qlon", "qlat", F.explode(ring).alias("o"), "x", "y")
+        .select(
+            "qid",
+            "qlon",
+            "qlat",
+            F.pmod(F.col("x") + F.col("o.dx"), F.lit(n)).alias("nx"),
+            (F.col("y") + F.col("o.dy")).alias("ny"),
+        )
+        .filter((F.col("ny") >= 0) & (F.col("ny") < n))
+    )
+    right = pts.select(
+        F.col("url").alias("cid"), F.col("lon").alias("clon"), F.col("lat").alias("clat"),
+        x.alias("nx"), y.alias("ny"),
+    )
+    dist_sq = (F.col("qlon") - F.col("clon")) * (F.col("qlon") - F.col("clon")) + (
+        F.col("qlat") - F.col("clat")
+    ) * (F.col("qlat") - F.col("clat"))
+    return (
+        probes.join(right, ["nx", "ny"])
+        .filter((F.col("qid") != F.col("cid")) & (dist_sq <= F.lit(r2)))
+        .select("qid", "cid", dist_sq.alias("dist_sq"))
+    )

@@ -85,6 +85,42 @@ NOTES = {
     "sample_mix_weights": "one groupBy(lang) with map-side partials "
     "(the exchange carries one row per language), then a broadcast of "
     "the language-sized totals back onto the dim",
+    "geo_bbox_cells_query": "Z-order window scan: ONE higher-order "
+    "exists over the literal range array (constant codegen size — an "
+    "OR-chain of 49 BETWEENs made Janino fail the compile) + exact "
+    "refine, all inside the scan-side codegen stage; zero exchanges",
+    "geo_tile_heat_decay": "integer half-life weights (clamped "
+    "shiftleft) + one cell groupBy with map-side combine — the "
+    "geo_tile_agg shape with a decayed measure",
+    "geo_cluster_dense_cells": "page-scaled work = one raster groupBy; "
+    "the adjacency explode/join and label-propagation rounds run over "
+    "the dense-CELL set (bounded by 4^res), with localCheckpoint "
+    "truncating the iterative plan",
+    "webgraph_outlinks": "binary html -> regexp_extract_all -> "
+    "posexplode, all JVM codegen; zero exchanges — a pure scan pass",
+    "webgraph_host_degree": "distinct(url) then groupBy(src,dst): two "
+    "exchanges on host-cardinality keys, both partial-combined",
+    "bpe_pair_counts": "explode words -> explode pairs -> ONE "
+    "groupBy(pair): the exchange carries at most alphabet-squared rows "
+    "per task after map-side combine",
+    "sample_global_shuffle": "one hash exchange on shard + per-shard "
+    "sort for row_number — no global ordering anywhere",
+    "crawl_frontier_schedule": "distinct + per-host window: exchanges "
+    "hash on host; per-host serialization is the politeness SEMANTICS",
+    "warc_roundtrip_parse": "serialize + parse + self-join on "
+    "(url, warc_ts); the join hashes on the natural key — map-heavy, "
+    "one exchange pair",
+    "stats_table_profile": "single Aggregate computes every metric; "
+    "exact NDV x5 costs Expand x5 (documented exactness price), then "
+    "a literal inline unpivot over the 1-row result",
+    "window_range_trailing_sum": "one RANGE-frame window, hash "
+    "exchange on user_id; frame state bounded by the 1h span",
+    "sessionize_events": "lag-mark-cumsum: both windows share the "
+    "user_id partitioning -> ONE exchange + sort serves both, then "
+    "the session groupBy",
+    "geo_polyfill": "distributed grid generation (two sequence "
+    "explodes) -> the SAME broadcast-cover + Arrow ray-cast path as "
+    "the PIP join, pointed at cell centers",
 }
 
 

@@ -246,3 +246,88 @@ def test_pip_exact_oracle_set_crosses_antimeridian(spark, sf_dir):
     east = sum(1 for r in hits if r["lon"] >= 0)
     west = sum(1 for r in hits if r["lon"] < 0)
     assert east > 0 and west > 0
+
+
+def test_radius_join_matches_numpy_bruteforce(spark, sf_dir):
+    """geo_radius_join vs numpy all-pairs on the same points — the
+    grid one-ring candidate generation must lose NO qualifying pair
+    (completeness) and admit none beyond the radius."""
+    import numpy as np
+
+    from osm_data_classification_spark.operators.geo_queries import (
+        _RADIUS_DEG,
+        geo_radius_join,
+    )
+    from osm_data_classification_spark.sources.pages import geocoded_pages
+
+    pts = (
+        geocoded_pages(spark, sf_dir, res=5)
+        .dropDuplicates(["url"])
+        .select("url", "lon", "lat")
+        .collect()
+    )
+    urls = [r["url"] for r in pts]
+    lon = np.array([r["lon"] for r in pts])
+    lat = np.array([r["lat"] for r in pts])
+    d2 = (lon[:, None] - lon[None, :]) ** 2 + (lat[:, None] - lat[None, :]) ** 2
+    want = {
+        (urls[i], urls[j])
+        for i in range(len(urls))
+        for j in range(len(urls))
+        if i != j and d2[i, j] <= _RADIUS_DEG * _RADIUS_DEG
+    }
+    got = {
+        (r["qid"], r["cid"]) for r in geo_radius_join(spark, sf_dir).collect()
+    }
+    assert got == want and want  # non-trivial fixture
+
+
+def test_polyfill_is_center_in_and_concave(spark):
+    """geo_polyfill: every emitted center is inside the polygon per
+    the numpy ray-cast, every non-emitted bbox cell center is outside,
+    and the L-shape's concave notch actually excludes cells (the fill
+    is a strict subset of the bbox grid)."""
+    from osm_data_classification_spark.geo.pip import PackedPolygons
+    from osm_data_classification_spark.geo.pip_sql import boundary_rows
+    from osm_data_classification_spark.operators.geo_queries import (
+        _POLYFILL_BID,
+        _polyfill_grid,
+        geo_polyfill,
+    )
+
+    import numpy as np
+
+    packed = PackedPolygons.from_rows(
+        [r for r in boundary_rows() if r[0] == _POLYFILL_BID]
+    )
+    rows = geo_polyfill(spark, "/root/testdata/sf0.001").collect()
+    x0, x1, y0, y1 = _polyfill_grid()
+    n_bbox = (x1 - x0 + 1) * (y1 - y0 + 1)
+    assert 0 < len(rows) < n_bbox  # concavity excludes some cells
+    lons = np.array([r["lon_c"] for r in rows])
+    lats = np.array([r["lat_c"] for r in rows])
+    zeros = np.zeros(len(rows), dtype=np.int64)
+    assert packed.contains(zeros, lons, lats).all()
+    # every bbox center NOT emitted must be outside
+    from osm_data_classification_spark.geo import cells as C
+
+    n = 1 << 8
+    xs, ys, clons, clats = [], [], [], []
+    for xx in range(x0, x1 + 1):
+        for yy in range(y0, y1 + 1):
+            xs.append(xx), ys.append(yy)
+            clons.append(-180.0 + (xx * 2 + 1) * (360.0 / (2 * n)))
+            clats.append(-90.0 + (yy * 2 + 1) * (180.0 / (2 * n)))
+    inside = packed.contains(
+        np.zeros(len(xs), dtype=np.int64), np.array(clons), np.array(clats)
+    )
+    import numpy as _np
+
+    cell_ids = (
+        _np.uint64(8 << C.RES_BITS_SHIFT)
+        | C._spread_np(_np.array(xs, dtype=_np.uint64))
+        | (C._spread_np(_np.array(ys, dtype=_np.uint64)) << _np.uint64(1))
+    ).astype(_np.int64)
+    got_cells = {int(r["cell"]) for r in rows}
+    for cid, ins in zip(cell_ids.tolist(), inside.tolist()):
+        assert (cid in got_cells) == bool(ins)

@@ -485,3 +485,52 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dots.select(
         "va", "vb", cos.cast("long").alias("cos_x1000")
     ).filter(F.col("cos_x1000") >= COS_THRESH_X1000)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs the existing corpus snapshot
+# ---------------------------------------------------------------------------
+
+_SNAP_SPLIT = 350  # doc_id < 350 = the "existing" corpus
+
+
+@_register(
+    "dedup_cross_snapshot",
+    f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    old AS (SELECT md5(text) AS h FROM corpus WHERE doc_id < {_SNAP_SPLIT}),
+    new AS (
+        SELECT doc_id, md5(text) AS h FROM corpus WHERE doc_id >= {_SNAP_SPLIT}
+    )
+    SELECT n.doc_id, n.h AS fingerprint,
+           (o.h IS NOT NULL) AS dup_of_existing
+    FROM new n LEFT JOIN (SELECT DISTINCT h FROM old) o USING (h)
+    """,
+)
+def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-snapshot) exact dedup — the shape every
+    growing training corpus runs on ingest: fingerprint ONLY the new
+    batch and probe the existing corpus's fingerprint set; existing
+    data is touched as a (stored, bucketed) hash column, never
+    re-read as text. Here the corpus splits at doc_id 350; the new
+    side annotates each doc with whether its md5 already exists in
+    the old side (left join against the distinct old-fingerprint
+    set — at scale a bloom-filter prefilter drops the obvious
+    non-dups before the join, the plan-gated runtime-filter path).
+
+    FULL oracle: DuckDB repeats the split, hash, and probe."""
+    docs = corpus(spark, sf_dir)
+    old = (
+        docs.filter(F.col("doc_id") < _SNAP_SPLIT)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+        .withColumn("present", F.lit(True))
+    )
+    new = docs.filter(F.col("doc_id") >= _SNAP_SPLIT).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    return new.join(old, "h", "left").select(
+        "doc_id",
+        F.col("h").alias("fingerprint"),
+        F.coalesce("present", F.lit(False)).alias("dup_of_existing"),
+    )

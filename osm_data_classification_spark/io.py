@@ -477,3 +477,39 @@ def resume_partitions(
         finally:
             spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return spark.read.parquet(data_p), damaged
+
+
+def snapshot_expire(path: str, keep_last: int) -> list[int]:
+    """Expire old snapshots (Iceberg ``expire_snapshots`` analog):
+    drop all but the newest ``keep_last`` versions from the manifest
+    FIRST (atomic swap — readers can never resolve an expired
+    version), then delete the orphaned ``v=N`` directories. Returns
+    the expired version numbers. A version still in the manifest is
+    never deleted, and a crash between manifest swap and directory
+    removal only leaves unreferenced directories (safe garbage, swept
+    by the next expire) — never a referenced-but-missing version."""
+    import json as _json
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    hist = snapshot_history(path)
+    if len(hist) <= keep_last:
+        return []
+    expired = [m["version"] for m in hist[:-keep_last]]
+    man_p = os.path.join(path, "_snapshots.json")
+    tmp = man_p + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(_json.dumps(hist[-keep_last:]))
+    os.replace(tmp, man_p)
+    for v in expired:
+        shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    return expired
+
+
+def read_evolved(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-evolution read: union parquet directories written with
+    DIFFERENT (compatible) schemas — older files surface NULL for
+    columns they predate (``mergeSchema``), exactly Iceberg's
+    add-column evolution contract. One call, no manual casting."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

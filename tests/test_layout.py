@@ -223,3 +223,66 @@ def test_compact_table_binpacks_without_changing_content(spark, sf_dir):
         assert table_checksum(spark.read.parquet(d)) == before_sum
     finally:
         shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+
+
+def test_snapshot_expire_keeps_pinned_versions_resolvable(spark, sf_dir):
+    """snapshot_expire: only the newest keep_last versions survive,
+    expired versions fail LOUDLY on read, survivors re-read
+    byte-identically, and the manifest swap is ordered so a version
+    still referenced is never deleted."""
+    import pytest as _pytest
+
+    from osm_data_classification_spark.io import (
+        load_table,
+        snapshot_expire,
+        snapshot_history,
+        snapshot_read,
+        snapshot_write,
+        table_checksum,
+    )
+
+    d = tempfile.mkdtemp(prefix="snapexp_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        sums = {}
+        for k in range(1, 5):
+            df = ev.filter(F.col("event_id") % 4 < k).select("event_id", "user_id")
+            v = snapshot_write(df, d)
+            sums[v] = table_checksum(snapshot_read(spark, d, v))
+        assert snapshot_expire(d, 10) == []  # nothing to do
+        assert snapshot_expire(d, 2) == [1, 2]
+        assert [m["version"] for m in snapshot_history(d)] == [3, 4]
+        for v in (3, 4):
+            assert table_checksum(snapshot_read(spark, d, v)) == sums[v]
+        for v in (1, 2):
+            with _pytest.raises(KeyError):
+                snapshot_read(spark, d, v)
+        with _pytest.raises(ValueError):
+            snapshot_expire(d, 0)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_evolved_merges_added_column(spark, sf_dir):
+    """read_evolved: a directory written before a column existed
+    surfaces NULL for it; values and counts line up across the union."""
+    from osm_data_classification_spark.io import load_table, read_evolved
+
+    d1 = tempfile.mkdtemp(prefix="evo1_")
+    d2 = tempfile.mkdtemp(prefix="evo2_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.select("event_id", "user_id").filter("event_id % 2 = 0").write.mode(
+            "overwrite"
+        ).parquet(d1)
+        ev.select("event_id", "user_id", "event_type").filter(
+            "event_id % 2 = 1"
+        ).write.mode("overwrite").parquet(d2)
+        got = read_evolved(spark, d1, d2)
+        assert set(got.columns) == {"event_id", "user_id", "event_type"}
+        assert got.count() == ev.count()
+        nulls = got.filter(F.col("event_type").isNull()).count()
+        assert nulls == ev.filter("event_id % 2 = 0").count()
+    finally:
+        shutil.rmtree(d1, ignore_errors=True)
+        shutil.rmtree(d2, ignore_errors=True)

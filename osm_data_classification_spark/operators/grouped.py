@@ -120,3 +120,48 @@ def grouped_zscore_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         per_group, "event_id long, user_id long, dev_x1000 long"
     )
+
+
+# ---------------------------------------------------------------------------
+# real Python UDTF (Spark 4 table function surface, §2.10)
+# ---------------------------------------------------------------------------
+
+_UDTF_SQL = """
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    )
+    SELECT doc_id, term, COUNT(*) AS n
+    FROM words GROUP BY doc_id, term HAVING COUNT(*) >= 2
+"""
+
+
+@_register("udtf_term_counts", _UDTF_SQL)
+def udtf_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10's table-function row made REAL: a Python UDTF (Spark 4
+    `@udtf`, Arrow-optimized) fans each document out to its repeated
+    terms (count >= 2) via LATERAL join — the genuine user-defined
+    table function API, not an explode equivalent. This is the
+    API-surface demo; the hot-path twin of this computation is the
+    all-JVM text_tfidf_topterms. FULL oracle: DuckDB re-counts with
+    unnest + HAVING."""
+    from collections import Counter
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="term: string, n: long", useArrow=True)
+    class RepeatedTerms:
+        def eval(self, text: str):
+            if not text:
+                return
+            for term, n in Counter(text.split(" ")).items():
+                if n >= 2:
+                    yield term, n
+
+    spark.udtf.register("repeated_terms", RepeatedTerms)
+    docs = load_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("docs_udtf_in")
+    return spark.sql(
+        "SELECT d.doc_id, t.term, t.n "
+        "FROM docs_udtf_in d, LATERAL repeated_terms(d.text) t"
+    )

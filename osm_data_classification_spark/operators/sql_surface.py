@@ -666,3 +666,42 @@ FROM d GROUP BY depth
 """
 
 _register_sql("sql_recursive_hierarchy", _RCTE_SPARK, _RCTE_DUCK)
+
+
+# SQL-defined scalar function (Spark 4 CREATE FUNCTION ... RETURN expr):
+# the catalog-function surface — a named, reusable expression resolved
+# by the ANALYZER into the plan (zero UDF overhead, full codegen), the
+# right tool for shared business logic a team would otherwise copy
+# into every query. The oracle inlines the same expression (DuckDB
+# macros would be the dialect twin; inlining keeps the oracle minimal).
+_SQL_UDF_BODY = """
+SELECT host_id, COUNT(*) AS n_pages
+FROM (SELECT hostnum(url) AS host_id FROM pages_udf_in)
+GROUP BY host_id
+"""
+
+
+def _sql_udf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.pages import synth_pages
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION hostnum(u STRING) "
+        "RETURNS BIGINT "
+        r"RETURN CAST(regexp_extract(u, 'site(\\d+)', 1) AS BIGINT)"
+    )
+    synth_pages(spark, sf_dir).createOrReplaceTempView("pages_udf_in")
+    return spark.sql(_SQL_UDF_BODY)
+
+
+def _sql_udf_oracle() -> str:
+    from ..geo.cells_sql import PAGES_SQL
+
+    return f"""
+    WITH {PAGES_SQL}
+    SELECT CAST(regexp_extract(url, 'site(\\d+)', 1) AS BIGINT) AS host_id,
+           COUNT(*) AS n_pages
+    FROM pages GROUP BY 1
+    """
+
+
+CATALOG["sql_udf_scalar"] = QuerySpec(_sql_udf_fn, _sql_udf_oracle())

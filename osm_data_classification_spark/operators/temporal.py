@@ -495,3 +495,56 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stage_purchase"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention (weekly signup cohorts x activity-week offsets)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "cohort_retention",
+    """
+    WITH weekly AS (
+        SELECT user_id,
+               (epoch_ms(ts) // 1000) // 604800 AS week
+        FROM events
+    ),
+    firsts AS (
+        SELECT user_id, MIN(week) AS cohort_week FROM weekly GROUP BY user_id
+    ),
+    active AS (
+        SELECT DISTINCT w.user_id, f.cohort_week,
+               w.week - f.cohort_week AS week_offset
+        FROM weekly w JOIN firsts f USING (user_id)
+    )
+    SELECT cohort_week, week_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM active GROUP BY cohort_week, week_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention — the standard product-analytics
+    triangle: each user joins the cohort of their first active epoch
+    week; (cohort_week, week_offset) cells count distinct users still
+    active that many weeks later. Week = epoch seconds div 604800 on
+    BOTH engines (second-truncated, the RANGE-frame lesson), so the
+    bucketing is integer-exact.
+
+    One groupBy for first weeks, one distinct, one rollup — all
+    hashed on user/cohort keys. FULL oracle: DuckDB repeats the
+    triangle."""
+    ev = load_table(spark, sf_dir, "events")
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+    weekly = ev.select("user_id", week.alias("week"))
+    firsts = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    active = (
+        weekly.join(firsts, "user_id")
+        .select(
+            "user_id", "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .distinct()
+    )
+    return active.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )

@@ -88,7 +88,8 @@ NOTES = {
     "geo_bbox_cells_query": "Z-order window scan: ONE higher-order "
     "exists over the literal range array (constant codegen size — an "
     "OR-chain of 49 BETWEENs made Janino fail the compile) + exact "
-    "refine, all inside the scan-side codegen stage; zero exchanges",
+    "refine inside the scan-side codegen stage; the only exchange is "
+    "the synthetic source's spread repartition",
     "geo_tile_heat_decay": "integer half-life weights (clamped "
     "shiftleft) + one cell groupBy with map-side combine — the "
     "geo_tile_agg shape with a decayed measure",
@@ -121,6 +122,22 @@ NOTES = {
     "geo_polyfill": "distributed grid generation (two sequence "
     "explodes) -> the SAME broadcast-cover + Arrow ray-cast path as "
     "the PIP join, pointed at cell centers",
+    "geo_radius_join": "one-ring grid partitioning (cell > radius => "
+    "adjacency is complete): explode 3x3 ring, equi-join on the cell, "
+    "exact distance filter — one shuffle per side, no cartesian; the "
+    "mega-cell quadratic pairs are the QUERY's answer, AQE skew-split "
+    "spreads them",
+    "funnel_conversion": "first-touch funnel in one conditional-min "
+    "groupBy + a 1-row rollup — no per-stage re-scan, no joins",
+    "cohort_retention": "first-week agg + distinct + rollup, all "
+    "hashed on user/cohort keys — the retention triangle in three "
+    "partial-combined exchanges",
+    "tile_incremental_merge": "two independent partial aggregations "
+    "merged by a (cell,url) groupBy then the final rollup — the "
+    "associative-merge shape incremental view maintenance relies on",
+    "dedup_cross_snapshot": "new-batch fingerprints LEFT JOIN the "
+    "distinct old-fingerprint set; at scale the runtime bloom filter "
+    "prefilters the probe side (plan-gated elsewhere)",
 }
 
 

@@ -287,3 +287,42 @@ def test_rarity_join_broadcasts_vocabulary_side(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_outlinks_parse_is_map_only(spark, sf_dir):
+    """webgraph_outlinks: regexp parse + posexplode stays in one
+    map-only pass — the only exchange is the synthetic source's
+    spread repartition, and no Python stage exists."""
+    df = _q("webgraph_outlinks")(spark, sf_dir)
+    assert audit.count_exchanges(df) <= 1
+    assert not audit.has_python_stage(df)
+
+
+def test_bbox_query_is_single_source_exchange(spark, sf_dir):
+    """geo_bbox_cells_query: the exists-over-range-array predicate
+    adds NO exchange beyond the source repartition and never leaves
+    codegen (the OR-chain regression would fail Janino and fall to
+    interpreted mode — pinned indirectly by stage count here and by
+    wall time in the catalog gate)."""
+    df = _q("geo_bbox_cells_query")(spark, sf_dir)
+    assert audit.count_exchanges(df) <= 1
+    assert not audit.has_python_stage(df)
+
+
+def test_bpe_pair_counts_partial_aggregates(spark, sf_dir):
+    """bpe_pair_counts: the pair groupBy must partial-combine
+    map-side (HashAggregate below the exchange) so the shuffle
+    carries at most alphabet^2 rows per task, never the token
+    fan-out."""
+    df = _q("bpe_pair_counts")(spark, sf_dir)
+    plan = audit.formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert audit.count_exchanges(df) <= 2  # source spread is absent here
+
+
+def test_cross_snapshot_dedup_joins_on_fingerprint(spark, sf_dir):
+    """dedup_cross_snapshot: the probe is an equi-join on the hash
+    column — no nested loop, no cartesian."""
+    df = _q("dedup_cross_snapshot")(spark, sf_dir)
+    kinds = " ".join(audit.join_kinds(df)).lower()
+    assert "nestedloop" not in kinds and "cartesian" not in kinds

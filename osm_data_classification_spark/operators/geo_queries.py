@@ -1036,8 +1036,18 @@ def geo_cover_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lo long, hi long",
     )
     cur = rng_df.select(F.explode(F.sequence("lo", "hi")).alias("m"))
+    return compact_cells(cur, _COMPACT_TOP, _COMPACT_BOTTOM)
+
+
+def compact_cells(morton_df: DataFrame, top: int, bottom: int) -> DataFrame:
+    """The reusable compaction kernel: ``morton_df`` holds DISTINCT
+    res-``top`` morton codes in column ``m``; returns the mixed-res
+    compacted set (res, cell, n_leaves). Property-tested on random
+    covers in tests/test_cells.py; the catalog entry feeds it the
+    literal N-America cover."""
+    cur = morton_df
     kept = []
-    for res in range(_COMPACT_TOP, _COMPACT_BOTTOM, -1):
+    for res in range(top, bottom, -1):
         counts = cur.groupBy(F.shiftright("m", 2).alias("p")).agg(
             F.count(F.lit(1)).alias("c")
         )
@@ -1049,15 +1059,15 @@ def geo_cover_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             keep.select(
                 F.lit(res).cast("long").alias("res"),
                 F.lit(res << RES_BITS_SHIFT).bitwiseOR(F.col("m")).alias("cell"),
-                F.lit(4 ** (_COMPACT_TOP - res)).cast("long").alias("n_leaves"),
+                F.lit(4 ** (top - res)).cast("long").alias("n_leaves"),
             )
         )
         cur = complete.select(F.col("p").alias("m"))
     kept.append(
         cur.select(
-            F.lit(_COMPACT_BOTTOM).cast("long").alias("res"),
-            F.lit(_COMPACT_BOTTOM << RES_BITS_SHIFT).bitwiseOR(F.col("m")).alias("cell"),
-            F.lit(4 ** (_COMPACT_TOP - _COMPACT_BOTTOM)).cast("long").alias("n_leaves"),
+            F.lit(bottom).cast("long").alias("res"),
+            F.lit(bottom << RES_BITS_SHIFT).bitwiseOR(F.col("m")).alias("cell"),
+            F.lit(4 ** (top - bottom)).cast("long").alias("n_leaves"),
         )
     )
     out = kept[0]

@@ -284,3 +284,46 @@ def test_cover_compact_invariants(spark):
             continue
         parents = Counter(m >> 2 for m in ms)
         assert all(c < 4 for c in parents.values()), (res, parents)
+
+
+def test_compact_cells_random_covers_property(spark):
+    """compact_cells on seeded-random covers vs a python model:
+    leaf-equivalence, disjointness, maximality, and idempotence-by-
+    construction (no complete quad above bottom) must hold for ANY
+    input set — including sets with zero complete quads and a fully
+    complete block."""
+    import numpy as np
+
+    from osm_data_classification_spark.operators.geo_queries import compact_cells
+
+    rng = np.random.default_rng(11)
+    top, bottom = 6, 3
+    cases = [
+        rng.choice(4**6, size=300, replace=False),          # sparse random
+        np.arange(4**3),                                    # one full res-3 subtree
+        np.array([0, 1, 2]),                                # incomplete quad only
+        np.concatenate([np.arange(64), rng.choice(4**6 - 64, 50, replace=False) + 64]),
+    ]
+    for ms in cases:
+        ms = np.unique(ms.astype(np.int64))
+        df = spark.createDataFrame([(int(m),) for m in ms], "m long")
+        rows = compact_cells(df, top, bottom).collect()
+        # python model: bottom-up quad collapse
+        cur = set(int(m) for m in ms)
+        model = []
+        for res in range(top, bottom, -1):
+            parents = {}
+            for m in cur:
+                parents.setdefault(m >> 2, set()).add(m & 3)
+            nxt, keep = set(), []
+            for p, kids in parents.items():
+                if len(kids) == 4:
+                    nxt.add(p)
+                else:
+                    keep.extend((p << 2) | k for k in kids)
+            model.extend((res, m) for m in keep)
+            cur = nxt
+        model.extend((bottom, m) for m in cur)
+        got = sorted((r["res"], r["cell"] & ((1 << 56) - 1)) for r in rows)
+        assert got == sorted(model)
+        assert sum(r["n_leaves"] for r in rows) == len(ms)

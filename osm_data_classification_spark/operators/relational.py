@@ -1226,3 +1226,77 @@ def rollup_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     docs.createOrReplaceTempView("documents")
     return spark.sql(_GSETS_SQL)
+
+
+@register(
+    "window_ntile_deciles",
+    """
+    SELECT user_id,
+           CAST(total_cents AS BIGINT) AS total_cents,
+           CAST(NTILE(10) OVER (ORDER BY total_cents, user_id) AS BIGINT)
+               AS decile
+    FROM (
+        SELECT user_id,
+               SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+        FROM events GROUP BY user_id
+    )
+    """,
+)
+def window_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 family, NTILE: users bucketed into spend deciles over a
+    total order made deterministic by the (total, user_id) tie-break
+    — the percentile-bucket assignment scoring pipelines use. The
+    global-order window runs over the per-user AGGREGATE (user
+    cardinality), never raw events; at extreme user counts the
+    two-level prefix-sum pattern (sample_pack_sequences) replaces the
+    single-partition window. FULL oracle: DuckDB's NTILE on the same
+    integer totals."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents")
+    )
+    w = Window.orderBy("total_cents", "user_id")
+    return totals.select(
+        "user_id",
+        "total_cents",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT event_type FROM events WHERE user_id % 2 = 0
+    EXCEPT ALL
+    SELECT event_type FROM events WHERE user_id % 3 = 0
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7's multiset variant: EXCEPT ALL subtracts per-OCCURRENCE
+    (a type appearing 10× left and 4× right survives 6×), which the
+    distinct EXCEPT cannot express — the semantics that matter when
+    reconciling event streams. Catalyst plans it as one aggregate
+    with paired counts, no join. FULL oracle: DuckDB's EXCEPT ALL."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("user_id") % 2 == 0).select("event_type")
+    right = ev.filter(F.col("user_id") % 3 == 0).select("event_type")
+    return left.exceptAll(right)
+
+
+@register(
+    "set_intersect_all",
+    """
+    SELECT event_type FROM events WHERE user_id % 2 = 0
+    INTERSECT ALL
+    SELECT event_type FROM events WHERE user_id % 3 = 0
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7's multiset intersection: min-of-multiplicities semantics.
+    FULL oracle: DuckDB's INTERSECT ALL."""
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("user_id") % 2 == 0).select("event_type")
+    right = ev.filter(F.col("user_id") % 3 == 0).select("event_type")
+    return left.intersectAll(right)

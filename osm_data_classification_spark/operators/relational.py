@@ -1300,3 +1300,74 @@ def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = ev.filter(F.col("user_id") % 2 == 0).select("event_type")
     right = ev.filter(F.col("user_id") % 3 == 0).select("event_type")
     return left.intersectAll(right)
+
+
+@register(
+    "unpivot_user_measures",
+    """
+    WITH wide AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                   AS total_cents
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id, measure, val
+    FROM wide
+    UNPIVOT (val FOR measure IN (n_events, n_types, total_cents))
+    """,
+)
+def unpivot_user_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The melt direction of A2's pivot: the wide per-user measure
+    matrix unpivots to (user_id, measure, val) long form — the shape
+    metric stores and feature registries ingest — via the REAL
+    DataFrame.unpivot API (Expand under the hood, one pass, no join).
+    FULL oracle: DuckDB's UNPIVOT clause."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("total_cents"),
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_events", "n_types", "total_cents"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "join_null_safe",
+    """
+    WITH keyed AS (
+        SELECT event_id, NULLIF(user_id % 5, 0) AS k FROM events
+    ),
+    dim AS (
+        SELECT NULLIF(n, 0) AS k, n * 100 AS payload
+        FROM (SELECT unnest(generate_series(0, 4)) AS n)
+    )
+    SELECT e.event_id, e.k, d.payload
+    FROM keyed e JOIN dim d ON e.k IS NOT DISTINCT FROM d.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    MATCH each other instead of vanishing — the semantics dimension
+    tables with an explicit unknown bucket need, and still a HASHABLE
+    equi key for Catalyst (EqualNullSafe joins hash-partition; a
+    plain `=` would silently drop every NULL row). One fifth of
+    events carries the NULL bucket here, so both match regimes fire.
+    FULL oracle: DuckDB's IS NOT DISTINCT FROM join."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(
+        "event_id", F.nullif(F.pmod("user_id", F.lit(5)), F.lit(0)).alias("k")
+    )
+    dim = spark.range(0, 5).select(
+        F.nullif(F.col("id"), F.lit(0)).alias("k"),
+        (F.col("id") * 100).alias("payload"),
+    )
+    return keyed.join(F.broadcast(dim), keyed["k"].eqNullSafe(dim["k"])).select(
+        "event_id", keyed["k"].alias("k"), "payload"
+    )

@@ -410,3 +410,73 @@ def sample_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shuffle_key",
         (F.row_number().over(w) - 1).cast("long").alias("pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robust length outliers (median + MAD, integer-exact at x2 scale)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "text_length_outliers",
+    """
+    WITH med AS (
+        SELECT lang,
+               CAST(2 * quantile_cont(n_chars, 0.5) AS BIGINT) AS med2
+        FROM documents GROUP BY lang
+    ),
+    dev AS (
+        SELECT d.lang, d.doc_id, d.n_chars, m.med2,
+               abs(2 * d.n_chars - m.med2) AS dev2
+        FROM documents d JOIN med m USING (lang)
+    ),
+    mad AS (
+        SELECT lang, CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4
+        FROM dev GROUP BY lang
+    )
+    SELECT v.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           v.med2, a.mad4,
+           CAST(SUM(CASE WHEN 2 * v.dev2 > 3 * a.mad4 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev v JOIN mad a USING (lang)
+    GROUP BY v.lang, v.med2, a.mad4
+    """,
+)
+def text_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length-outlier audit: median + MAD instead
+    of mean + stddev (one 10^9-char page cannot drag the threshold).
+    Medians interpolate to halves at even counts, so every statistic
+    is carried at x2 integer scale (med2 = 2·median, mad4 = 4·MAD,
+    dev2 = 2·|dev|) — the comparison 2·dev2 > 3·mad4 is exact BIGINT
+    arithmetic, no float threshold anywhere. EXACT percentile is
+    deliberate (the approx ladder is agg_quantile_bound's job): two
+    grouped sorts over language partitions.
+
+    FULL oracle: DuckDB quantile_cont vs Spark percentile — both
+    linear-interpolate, and x2 scaling makes the interpolated values
+    integers."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    med = docs.groupBy("lang").agg(
+        (2 * F.expr("percentile(n_chars, 0.5)")).cast("long").alias("med2")
+    )
+    dev = docs.join(F.broadcast(med), "lang").select(
+        "lang",
+        "doc_id",
+        "med2",
+        F.abs(2 * F.col("n_chars") - F.col("med2")).alias("dev2"),
+    )
+    mad = dev.groupBy("lang").agg(
+        (2 * F.expr("percentile(dev2, 0.5)")).cast("long").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "lang")
+        .groupBy("lang", "med2", "mad4")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1).otherwise(0)
+            ).alias("n_outliers"),
+        )
+        .select("lang", "n_docs", "med2", "mad4", "n_outliers")
+    )

@@ -1368,3 +1368,80 @@ def tile_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_edits").alias("n_edits"),
         F.count(F.lit(1)).alias("n_urls"),
     )
+
+# ---------------------------------------------------------------------------
+# focal (neighborhood) raster aggregation
+# ---------------------------------------------------------------------------
+
+
+def _focal_sql() -> str:
+    res = DENSE_RES
+    n = 1 << res
+    cell = f"({res << RES_BITS_SHIFT} | {SPREAD('cx')} | ({SPREAD('cy')} << 1))"
+    return f"""
+    WITH {PAGES_SQL},
+    raster AS (
+        SELECT {X_SQL('lon', res)} AS x, {Y_SQL('lat', res)} AS y,
+               COUNT(*) AS c
+        FROM pages GROUP BY 1, 2
+    ),
+    spread AS (
+        SELECT ((x + dx + {n}) % {n}) AS cx, (y + dy) AS cy, c
+        FROM raster,
+             unnest(generate_series(-1, 1)) AS tx(dx),
+             unnest(generate_series(-1, 1)) AS ty(dy)
+        WHERE y + dy >= 0 AND y + dy < {n}
+    )
+    SELECT {cell} AS cell,
+           CAST(SUM(c) AS BIGINT) AS focal_pages,
+           CAST(COUNT(*) AS BIGINT) AS n_contributing
+    FROM spread GROUP BY cx, cy
+    """
+
+
+@_register("geo_focal_sum", _focal_sql())
+def geo_focal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focal (3×3 neighborhood) raster aggregation — the smoothing
+    convolution heatmap renderers and density estimators run over the
+    tile grid: every occupied-or-adjacent cell sums the page counts
+    of its 9-neighborhood (x wraps, y clamps). Scatter-gather shape:
+    each raster cell CONTRIBUTES to 9 targets (explode) and one
+    groupBy gathers — the standard distributed stencil, shuffling the
+    RASTER (4^res bound), never pages.
+
+    FULL oracle: DuckDB repeats the stencil with generate_series
+    offsets."""
+    from ..geo.cells import cell_from_xy_col, xy_cols
+
+    res, n = DENSE_RES, 1 << DENSE_RES
+    pages = geocoded_pages(spark, sf_dir, res=res)
+    x, y = xy_cols(F.col("lon"), F.col("lat"), res)
+    raster = (
+        pages.select(x.alias("x"), y.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    spread = (
+        raster.select("c", "x", "y", F.explode(offsets).alias("o"))
+        .select(
+            "c",
+            F.pmod(F.col("x") + F.col("o.dx"), F.lit(n)).alias("cx"),
+            (F.col("y") + F.col("o.dy")).alias("cy"),
+        )
+        .filter((F.col("cy") >= 0) & (F.col("cy") < n))
+    )
+    return spread.groupBy("cx", "cy").agg(
+        F.sum("c").alias("focal_pages"),
+        F.count(F.lit(1)).alias("n_contributing"),
+    ).select(
+        cell_from_xy_col(F.col("cx"), F.col("cy"), res).alias("cell"),
+        "focal_pages",
+        "n_contributing",
+    )

@@ -1371,3 +1371,29 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyed.join(F.broadcast(dim), keyed["k"].eqNullSafe(dim["k"])).select(
         "event_id", keyed["k"].alias("k"), "payload"
     )
+
+
+@register(
+    "json_props_explode",
+    """
+    SELECT event_id, k AS prop_key,
+           CAST(json_extract(props, '$.' || k) AS BIGINT) AS prop_value
+    FROM (
+        SELECT event_id, props, unnest(json_keys(props)) AS k FROM events
+    )
+    """,
+)
+def json_props_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 JSON family beyond scalar extraction: parse the props
+    document into a MAP and explode every key/value pair — schema-
+    on-read for semi-structured payloads whose key set is open (the
+    from_json map type + explode, all JVM). FULL oracle: DuckDB's
+    json_keys unnest + json_extract per key."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", "map<string,long>").alias("m"),
+    )
+    return parsed.select(
+        "event_id", F.explode("m").alias("prop_key", "prop_value")
+    )

@@ -1445,3 +1445,59 @@ def geo_focal_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "focal_pages",
         "n_contributing",
     )
+
+# ---------------------------------------------------------------------------
+# per-boundary centroid of assigned pages (PIP -> aggregate chain)
+# ---------------------------------------------------------------------------
+
+
+def _boundary_centroid_sql() -> str:
+    from ..geo.pip_sql import pip_exact_sql
+
+    inner = pip_exact_sql(PAGES_SQL)
+    return f"""
+    WITH assigned AS ({inner}),
+    coords AS (
+        SELECT DISTINCT a.url, a.warc_ts, a.boundary_id, p.lon, p.lat
+        FROM assigned a
+        JOIN ({_bc_pages_sql()}) p USING (url, warc_ts)
+    )
+    SELECT boundary_id,
+           CAST(COUNT(*) AS BIGINT) AS n_pages,
+           CAST(SUM(CAST(floor(lon * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS lon_sum_x1e6,
+           CAST(SUM(CAST(floor(lat * 1000000.0) AS BIGINT)) AS BIGINT)
+               AS lat_sum_x1e6
+    FROM coords GROUP BY boundary_id
+    """
+
+
+def _bc_pages_sql() -> str:
+    return f"WITH {PAGES_SQL} SELECT url, warc_ts, lon, lat FROM pages"
+
+
+@_register("geo_boundary_centroid", _boundary_centroid_sql())
+def geo_boundary_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite chain: ray-cast PIP assignment → per-boundary page
+    centroid numerators (floored x1e6 integer sums, the drift-centroid
+    recipe) — "where inside each region do pages concentrate", the
+    rollup a region dashboard draws markers from. Exercises the
+    operator CHAIN under one oracle, not just each stage alone.
+
+    Plan: the pip_join output joins its own input's coordinates back
+    on the natural key, then one small groupBy (boundary cardinality).
+    FULL oracle: DuckDB re-runs the literal-polygon ray cast and the
+    same floor-and-sum."""
+    from ..geo.pip import PackedPolygons
+    from ..geo.pip_sql import boundary_rows
+
+    pages = geocoded_pages(spark, sf_dir, res=7)
+    packed = PackedPolygons.from_rows(boundary_rows())
+    assigned = pip_join(pages, packed, res=7).select(
+        "url", "warc_ts", "boundary_id", "lon", "lat"
+    ).dropDuplicates(["url", "warc_ts", "boundary_id"])
+    return assigned.groupBy("boundary_id").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.sum(F.floor(F.col("lon") * 1000000.0).cast("long")).alias("lon_sum_x1e6"),
+        F.sum(F.floor(F.col("lat") * 1000000.0).cast("long")).alias("lat_sum_x1e6"),
+    )

@@ -548,3 +548,42 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return active.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active")
     )
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (sequence analytics)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "events_markov_transitions",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    )
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over each user's event sequence
+    (LEAD over the deterministic (ts, event_id) order, chain ends
+    dropped) — the empirical Markov counts behind next-action
+    prediction and anomaly scoring. One window partitioned by user +
+    one tiny groupBy on the (from, to) pair — |types|² output rows
+    whatever the event count. FULL oracle: DuckDB's identical LEAD."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))

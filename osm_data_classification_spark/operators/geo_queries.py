@@ -1501,3 +1501,65 @@ def geo_boundary_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.floor(F.col("lon") * 1000000.0).cast("long")).alias("lon_sum_x1e6"),
         F.sum(F.floor(F.col("lat") * 1000000.0).cast("long")).alias("lat_sum_x1e6"),
     )
+
+# ---------------------------------------------------------------------------
+# quantization-error audit across the resolution ladder
+# ---------------------------------------------------------------------------
+
+_QERR_RES = (5, 8, 12)
+
+
+def _quant_error_sql() -> str:
+    parts = []
+    for r in _QERR_RES:
+        n = 1 << r
+        lon_c = f"(-180.0 + ({X_SQL('lon', r)} * 2 + 1) * {360.0 / (2 * n)!r})"
+        lat_c = f"(-90.0 + ({Y_SQL('lat', r)} * 2 + 1) * {180.0 / (2 * n)!r})"
+        parts.append(f"""
+        SELECT CAST({r} AS BIGINT) AS res,
+               CAST(COUNT(*) AS BIGINT) AS n_pages,
+               CAST(MAX(CAST(floor(abs(lon - {lon_c}) * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS max_lon_err_x1e6,
+               CAST(MAX(CAST(floor(abs(lat - {lat_c}) * 1000000.0) AS BIGINT))
+                    AS BIGINT) AS max_lat_err_x1e6
+        FROM pages""")
+    return f"WITH {PAGES_SQL}\n" + " UNION ALL ".join(parts)
+
+
+@_register("geo_quant_error_audit", _quant_error_sql())
+def geo_quant_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric audit of the cell quantizer at res 5/8/12: the maximum
+    |point − cell-center| displacement per axis, floored to x1e6
+    integer microdegrees — the bound every 'encode at res r' claim
+    rests on (must stay under half a cell extent, pinned in
+    tests/test_cells.py for the ladder). One pass computes all three
+    levels from the same scan (each level is pure arithmetic on the
+    same lon/lat columns).
+
+    FULL oracle: DuckDB re-derives centers and errors from identical
+    expressions."""
+    from ..geo.cells import xy_cols
+
+    pages = geocoded_pages(spark, sf_dir, res=7)
+    outs = []
+    for r in _QERR_RES:
+        n = 1 << r
+        x, y = xy_cols(F.col("lon"), F.col("lat"), r)
+        lon_c = F.lit(-180.0) + (x * 2 + 1) * F.lit(360.0 / (2 * n))
+        lat_c = F.lit(-90.0) + (y * 2 + 1) * F.lit(180.0 / (2 * n))
+        outs.append(
+            pages.agg(
+                F.lit(r).cast("long").alias("res"),
+                F.count(F.lit(1)).alias("n_pages"),
+                F.max(
+                    F.floor(F.abs(F.col("lon") - lon_c) * 1000000.0).cast("long")
+                ).alias("max_lon_err_x1e6"),
+                F.max(
+                    F.floor(F.abs(F.col("lat") - lat_c) * 1000000.0).cast("long")
+                ).alias("max_lat_err_x1e6"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

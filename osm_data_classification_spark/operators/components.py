@@ -269,3 +269,119 @@ def pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     nodes.unpersist()
     return ranks
+
+
+# ---------------------------------------------------------------------------
+# integer-exact PageRank (the driver-gradable twin of pagerank_hosts)
+# ---------------------------------------------------------------------------
+
+PRX_ITERS = 8
+PRX_SCALE = 10**12  # ranks carried as floor-scaled BIGINTs
+
+
+def _prx_edges_sql() -> str:
+    maps = " UNION ALL ".join(
+        f"SELECT (doc_id % {PR_HOSTS}) AS src,"
+        f" (({a} * (doc_id % {PR_HOSTS}) + {b}) % {PR_HOSTS}) AS dst"
+        " FROM documents"
+        for a, b in PR_EDGE_MAPS
+    )
+    return f"""
+    edges AS (
+        SELECT DISTINCT src, dst FROM ({maps})
+        WHERE src <> dst AND src < {PR_SINK_MIN}
+          AND dst % {PR_SOURCE_MOD} <> 0
+    ),
+    nodes AS (
+        SELECT src AS host FROM edges UNION SELECT dst FROM edges
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)
+    """
+
+
+def _prx_sql() -> str:
+    # fixed-round iteration UNROLLED to chained CTEs (the compaction
+    # trick) — no recursive aggregation needed in either engine
+    rounds = []
+    for k in range(PRX_ITERS):
+        rounds.append(f"""
+    c{k} AS (
+        SELECT e.dst AS host, SUM(p.r // g.d) AS in_rank
+        FROM edges e JOIN deg g ON g.src = e.src
+        JOIN pr{k} p ON p.host = e.src
+        GROUP BY e.dst
+    ),
+    pr{k + 1} AS (
+        SELECT n.host,
+               (15 * ({PRX_SCALE} // (SELECT COUNT(*) FROM nodes))) // 100
+                 + (85 * COALESCE(CAST(c.in_rank AS BIGINT), 0)) // 100 AS r
+        FROM nodes n LEFT JOIN c{k} c ON c.host = n.host
+    )""")
+    return f"""
+    WITH {_prx_edges_sql()},
+    pr0 AS (
+        SELECT host, {PRX_SCALE} // (SELECT COUNT(*) FROM nodes) AS r
+        FROM nodes
+    ),{",".join(rounds)}
+    SELECT host, CAST(r AS BIGINT) AS rank_x1e12 FROM pr{PRX_ITERS}
+    """
+
+
+@_register("pagerank_hosts_exact", _prx_sql())
+def pagerank_hosts_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The iterative-algorithm driver gate pagerank_hosts cannot have:
+    the SAME recurrence carried in floor-scaled BIGINTs (rank × 1e12;
+    per-edge contribution = rank div out-degree; next = teleport +
+    (85·Σ) div 100 — every operation integer floor division, so 8
+    rounds are bit-reproducible in ANY engine). Float PageRank stays
+    rows-only by nature; this twin proves the distributed iteration
+    itself against an oracle that unrolls the identical 8 rounds as
+    chained SQL CTEs (no recursive aggregation needed — the
+    compaction unroll trick). The float entry remains the production
+    surface; parity between the two orderings is pinned in
+    tests/test_components.py.
+
+    Per round: one join + one groupBy over edges, localCheckpoint
+    truncating the plan — the standard distributed PageRank shape at
+    any scale."""
+    edges = host_link_edges(spark, sf_dir).persist()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    if n == 0:
+        edges.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame([], "host bigint, rank_x1e12 bigint")
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    init = PRX_SCALE // n
+    tele = (15 * init) // 100
+    ranks = nodes.withColumn("r", F.lit(init).cast("long"))
+    for _ in range(PRX_ITERS):
+        contribs = (
+            edges.join(out_deg, "src")
+            .join(ranks, edges["src"] == ranks["host"])
+            .select(
+                F.col("dst").alias("host"),
+                F.expr("r div deg").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("in_rank"))
+        )
+        ranks = (
+            nodes.join(contribs, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(tele)
+                    + F.expr("85 * coalesce(in_rank, 0L) div 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    edges.unpersist()
+    nodes.unpersist()
+    return ranks.select("host", F.col("r").alias("rank_x1e12"))

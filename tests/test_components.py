@@ -150,3 +150,31 @@ def test_dense_cell_clusters_match_union_find(spark, sf_dir):
         ]
     # the fixture must actually exercise multi-cell clusters
     assert any(r["cluster_cells"] > 1 for r in got)
+
+
+def test_pagerank_exact_parallels_float_variant(spark, sf_dir):
+    """pagerank_hosts_exact (8 integer rounds) vs pagerank_hosts
+    (20 float rounds): same node set, same top-10 authority ordering,
+    and normalized scores within 1e-3 of each other — the integer
+    twin is a faithful, driver-gradable rendering of the same
+    recurrence, not a different algorithm."""
+    import numpy as np
+
+    from osm_data_classification_spark.operators.components import (
+        pagerank_hosts,
+        pagerank_hosts_exact,
+    )
+
+    f = {r["host"]: r["rank"] for r in pagerank_hosts(spark, sf_dir).collect()}
+    i = {
+        r["host"]: r["rank_x1e12"]
+        for r in pagerank_hosts_exact(spark, sf_dir).collect()
+    }
+    assert set(f) == set(i) and f
+    fo = sorted(f, key=lambda h: (-f[h], h))
+    io = sorted(i, key=lambda h: (-i[h], h))
+    assert fo[:10] == io[:10]
+    hosts = sorted(f)
+    fv = np.array([f[h] for h in hosts])
+    iv = np.array([float(i[h]) for h in hosts])
+    assert np.max(np.abs(fv / fv.sum() - iv / iv.sum())) < 1e-3

@@ -587,3 +587,66 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("event_type").over(w).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
     return seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# daily/weekly active users (engagement rollup)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "events_active_users",
+    """
+    WITH days AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM days GROUP BY day
+    ),
+    wau AS (
+        SELECT day,
+               CAST((
+                   SELECT COUNT(DISTINCT d2.user_id) FROM days d2
+                   WHERE d2.day BETWEEN d.day - 6 AND d.day
+               ) AS BIGINT) AS wau
+        FROM (SELECT DISTINCT day FROM days) d
+    )
+    SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau, wau.wau,
+           (dau.dau * 1000) // wau.wau AS stickiness_x1000
+    FROM dau JOIN wau USING (day)
+    """,
+)
+def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness — the engagement rollup
+    every activity dashboard runs. The WAU side joins each day
+    against the distinct (day, user) pairs of its trailing week and
+    re-counts distinct users (NOT a sum of DAUs — users active twice
+    in a week must count once); stickiness is integer permille. The
+    trailing join spans 7 rows per day over the DAY-cardinality
+    table, never raw events.
+
+    FULL oracle: DuckDB computes the same trailing distinct via a
+    correlated subquery (formulation differs from the Spark range
+    join on purpose — the two check each other)."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    dau = days.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    d = days.select(F.col("day").alias("anchor")).distinct()
+    wau = (
+        d.join(
+            days,
+            (F.col("day") >= F.date_sub(F.col("anchor"), 6))
+            & (F.col("day") <= F.col("anchor")),
+        )
+        .groupBy("anchor")
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .withColumnRenamed("anchor", "day")
+    )
+    # DATE columns canonicalize differently through pandas on the two
+    # engines (datetime64 vs datetime.date) — emit the ISO string
+    return dau.join(wau, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "wau",
+        F.expr("dau * 1000 div wau").alias("stickiness_x1000"),
+    )

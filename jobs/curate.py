@@ -43,7 +43,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
     t0 = time.perf_counter()
 
-    kept = run_curate(spark, args.sf_dir, args.out)
+    n_docs, checksum = run_curate(spark, args.sf_dir, args.out)
     for r in (
         spark.read.parquet(os.path.join(args.out, "funnel"))
         .orderBy("stage")
@@ -51,8 +51,8 @@ def main() -> None:
     ):
         print(f"{r['stage']:>22}: {r['rows']}")
     print(
-        f"curated {len(kept)} docs in {time.perf_counter() - t0:.1f}s "
-        f"-> {args.out}"
+        f"curated {n_docs} docs (checksum {checksum}) in "
+        f"{time.perf_counter() - t0:.1f}s -> {args.out}"
     )
 
 

@@ -445,9 +445,17 @@ def resume_partitions(
         r[part_col]: (r["output_rows"], r["checksum"])
         for r in spark.read.parquet(lin_p).collect()
     }
+    from pyspark.errors import AnalysisException
+
     try:
         data = spark.read.parquet(data_p)
-        cols = [c for c in data.columns]
+    except AnalysisException:
+        # data/ missing entirely (first run or total loss): every
+        # lineage partition is damaged. Any OTHER read error must
+        # propagate — a blanket except here made a transient IO
+        # failure indistinguishable from total damage (r3 ADVICE).
+        actual = {}
+    else:
         actual = {
             r[part_col]: (r["output_rows"], r["checksum"])
             for r in (
@@ -465,8 +473,15 @@ def resume_partitions(
                 .collect()
             )
         }
-    except Exception:
-        actual = {}
+    # an on-disk partition the lineage never wrote is foreign data —
+    # including it in the healed frame would silently launder it into
+    # the checkpoint's contract (r3 ADVICE: fail loudly on extras)
+    extras = sorted(set(actual) - set(expected), key=str)
+    if extras:
+        raise ValueError(
+            f"resume_partitions: on-disk partitions not in lineage "
+            f"{lin_p}: {extras} — foreign/corrupt data under {data_p}"
+        )
     damaged = [p for p, exp in expected.items() if actual.get(p) != exp]
     if damaged:
         fresh = recompute(spark).filter(F.col(part_col).isin(damaged))

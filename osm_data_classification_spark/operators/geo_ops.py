@@ -318,12 +318,30 @@ def knn_join(
     # seeded ones (round-2 VERDICT #5 / NOTES_r2 round-3 candidate)
     prev_topk: DataFrame | None = None
     prev_ring = 0
+    n = 1 << res
     wp = Window.partitionBy(id_col)
     for r in rings:
-        ringed = _explode_kring(remaining, qlon, qlat, res, r)
-        stage = topk(ringed.join(cand, "__cell")).withColumn(
-            "__cert_sq", _cert_bound_sq(qlon, qlat, res, r)
-        )
+        if prev_topk is not None and r > prev_ring and 2 * prev_ring + 1 <= n:
+            # annulus + seed merge on SCHEDULED passes too (r3 VERDICT
+            # #5 — previously only the residue loop seeded): the new
+            # cells of the wider block join candidates; the inner
+            # block contributes the k persisted seed rows per
+            # still-uncertified probe. Exact for the same reason as
+            # the residue merge — any dropped inner candidate is
+            # dominated by k seeded ones.
+            annulus = _explode_kring(
+                remaining, qlon, qlat, res, r, inner=prev_ring
+            )
+            seed = prev_topk.join(
+                remaining.select(id_col), id_col, "leftsemi"
+            )
+            stage = topk_rows(
+                pair_rows(annulus.join(cand, "__cell")).unionByName(seed)
+            )
+        else:
+            ringed = _explode_kring(remaining, qlon, qlat, res, r)
+            stage = topk(ringed.join(cand, "__cell"))
+        stage = stage.withColumn("__cert_sq", _cert_bound_sq(qlon, qlat, res, r))
         if persist:
             stage = stage.persist()
         prev_topk, prev_ring = stage.select(*topk_cols), r

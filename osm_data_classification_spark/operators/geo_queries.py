@@ -332,7 +332,8 @@ def stream_tile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = tempfile.mkdtemp(prefix="cat_stream_src_")
     ckpt = tempfile.mkdtemp(prefix="cat_stream_ckpt_")
-    partials_dir = tempfile.mkdtemp(prefix="cat_stream_part_") + "/p"
+    partials_parent = tempfile.mkdtemp(prefix="cat_stream_part_")
+    partials_dir = partials_parent + "/p"
     try:
         pages = synth_pages(spark, sf_dir).drop("html")
         pages.repartition(4).write.mode("overwrite").parquet(src)
@@ -363,12 +364,16 @@ def stream_tile_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             # result would misread as an associativity bug.
             schema = tile_partials(pages.limit(0), res=9).schema
             partials = spark.createDataFrame([], schema)
-        # the returned ladder frame reads lazily from the partials
-        # store, which must outlive this call; the source copy and the
-        # checkpoint are stream-time-only and are removed here
+        # the partials store is tile-grid-bounded (res-9 cells ×
+        # batches, never data-sized) — localCheckpoint detaches the
+        # frame from the on-disk store so ALL three temp dirs can be
+        # removed in the same finally instead of leaking the partials
+        # parquet per invocation (r3 ADVICE, stream_dedup sibling)
+        partials = partials.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(partials_parent, ignore_errors=True)
     return _flatten_hist(tile_ladder(merge_tile_partials(partials), 9, 5))
 
 
@@ -1094,7 +1099,7 @@ def _tile_heat_sql() -> str:
     WITH {PAGES_SQL}
     SELECT {CELL_SQL('lon', 'lat', res)} AS cell,
            COUNT(*) AS n_pages,
-           CAST(SUM({w}) AS BIGINT) AS heat_x2p20
+           CAST(SUM({w}) AS BIGINT) AS heat_x2p30
     FROM pages GROUP BY 1
     """
 
@@ -1126,7 +1131,7 @@ def geo_tile_heat_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = pages.withColumn("__hl", halflives)
     return pages.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n_pages"),
-        F.sum(weight).alias("heat_x2p20"),
+        F.sum(weight).alias("heat_x2p30"),
     )
 
 # ---------------------------------------------------------------------------

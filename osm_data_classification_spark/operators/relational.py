@@ -1076,7 +1076,8 @@ def stream_dedup_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     src = tempfile.mkdtemp(prefix="cat_sdedup_src_")
     ckpt = tempfile.mkdtemp(prefix="cat_sdedup_ckpt_")
-    sink = tempfile.mkdtemp(prefix="cat_sdedup_sink_") + "/out"
+    sink_parent = tempfile.mkdtemp(prefix="cat_sdedup_sink_")
+    sink = sink_parent + "/out"
     try:
         dup.repartition(4).write.mode("overwrite").parquet(src)
         stream = (
@@ -1100,14 +1101,21 @@ def stream_dedup_recrawl(spark: SparkSession, sf_dir: str) -> DataFrame:
             # created; keep the 0-row contract with a detached empty
             # frame (the stream_tile_ladder lesson)
             survived = spark.createDataFrame([], ev.schema)
-        return survived.groupBy("event_type").agg(
+        agg = survived.groupBy("event_type").agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("event_id").cast("long").alias("sum_event_id"),
             F.countDistinct("user_id").alias("n_users"),
         )
+        # the aggregate is |event_type| rows — localCheckpoint
+        # materializes it so the parquet sink dir can be deleted in
+        # the same finally instead of leaking per invocation (r3
+        # ADVICE); truncateExistingAncestorLineage-style laziness
+        # would keep a dangling read on the removed path
+        return agg.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink_parent, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

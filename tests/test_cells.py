@@ -235,7 +235,7 @@ def test_bbox_cover_ranges_exact_cover():
         bbox_cover_ranges(10.0, 0.0, -10.0, 0.0, res)
 
 
-def test_cover_compact_invariants(spark):
+def test_cover_compact_invariants(spark, sf_dir):
     """geo_cover_compact: leaf-equivalence (sum n_leaves == input
     size), disjointness (no output cell is an ancestor of another),
     and maximality (no complete sibling quad survives above the
@@ -248,7 +248,7 @@ def test_cover_compact_invariants(spark):
         geo_cover_compact,
     )
 
-    rows = geo_cover_compact(spark, "/root/testdata/sf0.001").collect()
+    rows = geo_cover_compact(spark, sf_dir).collect()
     n_input = sum(
         (hi & _MORTON_MASK) - (lo & _MORTON_MASK) + 1
         for lo, hi in _compact_input_ranges()

@@ -282,7 +282,7 @@ def test_radius_join_matches_numpy_bruteforce(spark, sf_dir):
     assert got == want and want  # non-trivial fixture
 
 
-def test_polyfill_is_center_in_and_concave(spark):
+def test_polyfill_is_center_in_and_concave(spark, sf_dir):
     """geo_polyfill: every emitted center is inside the polygon per
     the numpy ray-cast, every non-emitted bbox cell center is outside,
     and the L-shape's concave notch actually excludes cells (the fill
@@ -300,7 +300,7 @@ def test_polyfill_is_center_in_and_concave(spark):
     packed = PackedPolygons.from_rows(
         [r for r in boundary_rows() if r[0] == _POLYFILL_BID]
     )
-    rows = geo_polyfill(spark, "/root/testdata/sf0.001").collect()
+    rows = geo_polyfill(spark, sf_dir).collect()
     x0, x1, y0, y1 = _polyfill_grid()
     n_bbox = (x1 - x0 + 1) * (y1 - y0 + 1)
     assert 0 < len(rows) < n_bbox  # concavity excludes some cells

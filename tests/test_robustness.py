@@ -259,3 +259,20 @@ def test_ungeocodable_pages_dropped_not_null_tiled(spark):
     assert len(tiles) == 1
     assert tiles[0]["cell"] is not None
     assert tiles[0]["n_edits"] == 1
+
+
+def test_priority_window_matches_generator():
+    """catalog.PRIORITY is a GENERATED block (r3 VERDICT #2): any hand
+    edit that diverges from the rotation policy in
+    tools/gen_priority.py — anchors pinned, never-driver-graded full
+    oracles first, TPC-H tail last — fails this gate. Regenerate with
+    `python tools/gen_priority.py --apply` instead of editing names."""
+    import subprocess
+    import sys as _sys
+
+    proc = subprocess.run(
+        [_sys.executable, "/root/repo/tools/gen_priority.py", "--check"],
+        capture_output=True,
+        text=True,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr

@@ -390,7 +390,8 @@ def test_curate_job_output_is_scrubbed_and_deterministic(spark, sf_dir, tmp_path
     out2 = str(tmp_path / "c2")
     a = run_curate(spark, sf_dir, out1)
     b = run_curate(spark, sf_dir, out2)
-    assert a == b  # identical (doc_id, md5(text)) sets
+    # identical (n_docs, order-insensitive corpus checksum) witnesses
+    assert a == b and a[0] > 0, (a, b)
     from osm_data_classification_spark.operators.webtext import (
         _EMAIL_RE,
         _IP_RE,

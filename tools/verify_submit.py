@@ -40,8 +40,13 @@ def main() -> None:
         [sys.executable, os.path.join(ROOT, "tools", "package.py"), zip_path],
         check=True,
     )
-    job_path = os.path.join(ROOT, "tools", "_submit_job.py")
-    with open(job_path, "w") as f:
+    # tempfile, not a file in tools/: a failed spark-submit (check=True
+    # raises) must not strand a generated job file in the source tree
+    # (r3 ADVICE)
+    import tempfile
+
+    fd, job_path = tempfile.mkstemp(prefix="submit_job_", suffix=".py")
+    with os.fdopen(fd, "w") as f:
         f.write(JOB)
 
     from pyspark import find_spark_home
@@ -51,16 +56,19 @@ def main() -> None:
     )
     env = dict(os.environ)
     env.pop("PYTHONPATH", None)  # the zip must be the only code source
-    out = subprocess.run(
-        [
-            spark_submit,
-            "--master", "local-cluster[2,2,4096]",
-            "--conf", "spark.sql.shuffle.partitions=8",
-            "--py-files", zip_path,
-            job_path, SF_DIR,
-        ],
-        check=True, capture_output=True, text=True, env=env, cwd="/tmp",
-    )
+    try:
+        out = subprocess.run(
+            [
+                spark_submit,
+                "--master", "local-cluster[2,2,4096]",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--py-files", zip_path,
+                job_path, SF_DIR,
+            ],
+            check=True, capture_output=True, text=True, env=env, cwd="/tmp",
+        )
+    finally:
+        os.remove(job_path)
     line = next(
         ln for ln in out.stdout.splitlines() if ln.startswith("TILE_CHECKSUM")
     )
@@ -82,7 +90,6 @@ def main() -> None:
         f"| in-process: checksum {local_sum} rows {local_rows} | "
         f"{'IDENTICAL' if ok else 'MISMATCH'}"
     )
-    os.remove(job_path)
     sys.exit(0 if ok else 1)
 
 

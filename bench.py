@@ -46,6 +46,12 @@ HEADLINE = [
     "embed_quantize_int8",    # map-only int8 vector recode
     "webgraph_host_degree",   # html parse -> host-graph rollup (s5)
     "bpe_pair_counts",        # tokenizer-training inner loop (s5)
+    # round-4 breadth (r3 VERDICT #4): the heaviest round-3 families
+    "dedup_paragraph_global", # CCNet global paragraph dedup (groupBy+join)
+    "curate_corpus_funnel",   # end-to-end curation WITH-chain
+    "pagerank_hosts_exact",   # bounded iterative joins on the host graph
+    "geo_polyfill",           # polygon -> covering cells (center-in-poly)
+    "sample_global_shuffle",  # shard-partitioned global shuffle (no sort)
 ]
 
 
@@ -129,6 +135,28 @@ def main() -> None:
         timings[name] = round(best, 3)
         probes.append(noise_probe())
 
+    # --- L4 parallelism invariance as a per-round artifact (r3 VERDICT
+    # #8): the same flagship tile table must checksum identically at
+    # local[32] and local[8] — shuffle/partitioning nondeterminism in
+    # any operator on the flagship path shows up HERE, in the file the
+    # driver reads, not only in the pytest suite.
+    from osm_data_classification_spark.io import table_checksum
+
+    inv_df = flagship(spark, SF_DIR, multiplier=1).drop("activity_hist")
+    sum32 = table_checksum(inv_df)
+    spark.stop()
+    spark8 = get_spark("bench-inv8", master="local[8]")
+    spark8.sparkContext.setLogLevel("ERROR")
+    inv_df8 = flagship(spark8, SF_DIR, multiplier=1).drop("activity_hist")
+    sum8 = table_checksum(inv_df8)
+    spark8.stop()
+    invariance = {
+        "query": "flagship_tiles",
+        "local32_checksum": sum32,
+        "local8_checksum": sum8,
+        "identical": sum32 == sum8,
+    }
+
     total = round(sum(timings.values()), 3)
     probes_r = [round(p, 4) for p in probes]
     print(
@@ -155,10 +183,10 @@ def main() -> None:
                 },
                 "runs_per_query": 3,
                 "flagship_runs": 5,
+                "invariance": invariance,
             }
         )
     )
-    spark.stop()
 
 
 if __name__ == "__main__":

@@ -205,7 +205,7 @@ EMPTY_INPUT_QUERIES = [
     "webgraph_outlinks", "webgraph_host_degree", "crawl_frontier_schedule",
     "crawl_recrawl_priority", "crawl_robots_filter", "warc_roundtrip_parse",
     "bpe_pair_counts", "rollup_grouping_sets", "window_range_trailing_sum",
-    "embed_drift_centroid",
+    "embed_drift_centroid", "stream_watermark_late_drop",
 ]
 
 

@@ -385,3 +385,120 @@ def pagerank_hosts_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     nodes.unpersist()
     return ranks.select("host", F.col("r").alias("rank_x1e12"))
+
+
+# ---------------------------------------------------------------------------
+# integer-exact HITS (hubs & authorities) over the host link graph
+# ---------------------------------------------------------------------------
+
+HITS_ITERS = 6
+HITS_SCALE = 10**9  # scores carried as max-normalized BIGINTs
+
+
+def _hits_sql() -> str:
+    # the pagerank_hosts_exact unroll trick, applied to the two-phase
+    # HITS recurrence: auth from hubs, renormalize, hubs from auth,
+    # renormalize — all integer floor arithmetic
+    s = HITS_SCALE
+    rounds = []
+    for k in range(HITS_ITERS):
+        rounds.append(f"""
+    ar{k} AS MATERIALIZED (
+        SELECT e.dst AS host, SUM(h.h) AS v
+        FROM edges e JOIN h{k} h ON h.host = e.src
+        GROUP BY e.dst
+    ),
+    a{k} AS MATERIALIZED (
+        SELECT n.host,
+               COALESCE(r.v, 0) * {s} // (SELECT MAX(v) FROM ar{k}) AS a
+        FROM nodes n LEFT JOIN ar{k} r ON r.host = n.host
+    ),
+    hr{k} AS MATERIALIZED (
+        SELECT e.src AS host, SUM(a.a) AS v
+        FROM edges e JOIN a{k} a ON a.host = e.dst
+        GROUP BY e.src
+    ),
+    h{k + 1} AS MATERIALIZED (
+        SELECT n.host,
+               COALESCE(r.v, 0) * {s} // (SELECT MAX(v) FROM hr{k}) AS h
+        FROM nodes n LEFT JOIN hr{k} r ON r.host = n.host
+    )""")
+    return f"""
+    WITH {_prx_edges_sql()},
+    h0 AS (SELECT host, CAST({s} AS BIGINT) AS h FROM nodes),{",".join(rounds)}
+    SELECT a.host,
+           CAST(a.a AS BIGINT) AS auth_x1e9,
+           CAST(h.h AS BIGINT) AS hub_x1e9
+    FROM a{HITS_ITERS - 1} a JOIN h{HITS_ITERS} h ON h.host = a.host
+    """
+
+
+@_register("webgraph_hits_exact", _hits_sql())
+def webgraph_hits_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the host link graph — the second
+    classic iterative web-graph algorithm next to PageRank (hub scores
+    surface link farms / directories; authority scores feed the same
+    crawl-prioritization weighting). Kleinberg's recurrence, made
+    driver-gradable the pagerank_hosts_exact way: scores are BIGINTs
+    max-normalized to HITS_SCALE each half-round with floor division
+    only (auth ← Σ hub over in-edges, rescale so max = SCALE; hub ← Σ
+    auth over out-edges, rescale) — bit-reproducible in any engine, so
+    6 rounds unroll to chained SQL CTEs in the DuckDB oracle. The
+    per-half-round max is a 1-row aggregate joined back by broadcast
+    cross join — never a driver collect.
+
+    Per round: two (join + groupBy) passes over the edge table plus
+    two 1-row max joins; localCheckpoint truncates the growing plan.
+    At scale the edge table hash-partitions on host id and each
+    half-round is one shuffle over edge-count rows — same shape as
+    distributed PageRank, with the max-normalization replacing the
+    out-degree division (no float L2 norm anywhere)."""
+    edges = host_link_edges(spark, sf_dir).persist()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    if edges.limit(1).count() == 0:
+        edges.unpersist()
+        nodes.unpersist()
+        return spark.createDataFrame(
+            [], "host bigint, auth_x1e9 bigint, hub_x1e9 bigint"
+        )
+
+    def rescale(raw: DataFrame, col: str) -> DataFrame:
+        m = raw.agg(F.max("v").alias("__m"))
+        return (
+            nodes.join(raw, "host", "left")
+            .crossJoin(F.broadcast(m))
+            .select(
+                "host",
+                F.expr(f"coalesce(v, 0L) * {HITS_SCALE} div __m").alias(col),
+            )
+        )
+
+    hubs = nodes.withColumn("h", F.lit(HITS_SCALE).cast("long"))
+    auth = None
+    for _ in range(HITS_ITERS):
+        a_raw = (
+            edges.join(hubs, edges["src"] == hubs["host"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("v"))
+            .withColumnRenamed("dst", "host")
+        )
+        auth = rescale(a_raw, "a").localCheckpoint(eager=True)
+        h_raw = (
+            edges.join(auth, edges["dst"] == auth["host"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("v"))
+            .withColumnRenamed("src", "host")
+        )
+        hubs = rescale(h_raw, "h").localCheckpoint(eager=True)
+    edges.unpersist()
+    nodes.unpersist()
+    return auth.join(hubs, "host").select(
+        "host",
+        F.col("a").alias("auth_x1e9"),
+        F.col("h").alias("hub_x1e9"),
+    )

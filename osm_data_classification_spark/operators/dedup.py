@@ -534,3 +534,103 @@ def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("h").alias("fingerprint"),
         F.coalesce("present", F.lit(False)).alias("dup_of_existing"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter prefilter for cross-snapshot dedup
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 2048   # bits — sized so the sf-scale corpus measurably false-positives
+_BLOOM_K = 3      # hash functions
+
+
+def _bloom_sql() -> str:
+    bit = PHASH("p.h || '#' || CAST(s.s AS VARCHAR)")
+    obit = PHASH("o.h || '#' || CAST(s.s AS VARCHAR)")
+    return f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    old AS MATERIALIZED (
+        SELECT DISTINCT md5(text) AS h FROM corpus WHERE doc_id < {_SNAP_SPLIT}
+    ),
+    new AS (
+        SELECT doc_id, md5(text) AS h FROM corpus WHERE doc_id >= {_SNAP_SPLIT}
+    ),
+    seeds AS (SELECT unnest(range(0, {_BLOOM_K})) AS s),
+    bloom AS MATERIALIZED (
+        SELECT DISTINCT ({obit} % {_BLOOM_M}) AS bit
+        FROM old o CROSS JOIN seeds s
+    ),
+    probe AS (
+        SELECT p.doc_id, p.h, ({bit} % {_BLOOM_M}) AS bit
+        FROM new p CROSS JOIN seeds s
+    ),
+    cand AS (
+        SELECT p.doc_id, p.h,
+               (COUNT(b.bit) = {_BLOOM_K}) AS bloom_candidate
+        FROM probe p LEFT JOIN bloom b ON b.bit = p.bit
+        GROUP BY p.doc_id, p.h
+    )
+    SELECT c.doc_id,
+           (o.h IS NOT NULL) AS dup_of_existing,
+           c.bloom_candidate
+    FROM cand c LEFT JOIN old o ON o.h = c.h
+    """
+
+
+@_register("dedup_bloom_prefilter", _bloom_sql())
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom-filter prefilter dedup_cross_snapshot's docstring
+    promises: before probing the (huge, stored) old-snapshot
+    fingerprint set with an equi-join, test each new fingerprint
+    against a bloom filter of the old set — no false negatives by
+    construction, so only bloom candidates need the exact join, and
+    the common all-new crawl skips the big shuffle entirely.
+
+    The bloom here is REAL but expressed relationally so it is
+    bit-reproducible in both engines: bit i of fingerprint h is
+    ``phash(h || '#' || i) % m`` (m=2048, k=3 portable md5-derived
+    hash functions), the filter is the DISTINCT bit table of the old
+    side (≤ m rows — broadcastable by construction), and membership
+    is "all k probe bits present" (count of matched bits = k). The
+    output carries per-doc ground truth next to the bloom verdict:
+    ``dup_of_existing ⇒ bloom_candidate`` always (no false
+    negatives), while candidates that are NOT dups are the measured
+    false positives of this (m, k, |old|) configuration.
+
+    At 100 TB the same plan holds with the relational bitmap swapped
+    for ``df.stat.bloomFilter`` bytes broadcast to executors: the
+    probe side stays map-only, the old side is touched once to build
+    the filter, and the exact join runs over candidates only.
+    FULL oracle: DuckDB rebuilds the identical bit table and probe."""
+    docs = corpus(spark, sf_dir)
+    seeds = F.array(*[F.lit(i) for i in range(_BLOOM_K)])
+    old = (
+        docs.filter(F.col("doc_id") < _SNAP_SPLIT)
+        .select(F.md5("text").alias("h"))
+        .distinct()
+    )
+    bit = lambda: F.pmod(  # noqa: E731 — tiny shared expression
+        phash_col(F.concat_ws("#", F.col("h"), F.col("s"))), F.lit(_BLOOM_M)
+    )
+    bloom = (
+        old.select("h", F.explode(seeds).alias("s"))
+        .select(bit().alias("bit"))
+        .distinct()
+        .withColumn("present", F.lit(1))
+    )
+    new = docs.filter(F.col("doc_id") >= _SNAP_SPLIT).select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    cand = (
+        new.select("doc_id", "h", F.explode(seeds).alias("s"))
+        .select("doc_id", "h", bit().alias("bit"))
+        .join(F.broadcast(bloom), "bit", "left")
+        .groupBy("doc_id", "h")
+        .agg((F.count("present") == _BLOOM_K).alias("bloom_candidate"))
+    )
+    exact = old.withColumn("dup", F.lit(True))
+    return cand.join(exact, "h", "left").select(
+        "doc_id",
+        F.coalesce("dup", F.lit(False)).alias("dup_of_existing"),
+        "bloom_candidate",
+    )

@@ -202,3 +202,47 @@ def test_int8_topk_recall_vs_float_baseline(spark, sf_dir):
     assert hits / total >= 0.5, (hits, total)
     top1 = {r["qid"]: r["cid"] for r in int8 if r["rank"] == 1}
     assert all(q == c for q, c in top1.items()), top1
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir):
+    """The bloom prefilter's load-bearing property: every exact dup is
+    a bloom candidate (no false negatives — a prefilter that drops a
+    real dup corrupts the corpus), and at the tuned (m=2048, k=3) size
+    the sf-scale corpus produces MEASURABLE false positives (the rows
+    the exact join must still verify — an fp count of zero would mean
+    the test exercises only the trivial path)."""
+    from osm_data_classification_spark.operators.dedup import (
+        dedup_bloom_prefilter,
+    )
+
+    rows = dedup_bloom_prefilter(spark, sf_dir).collect()
+    assert rows
+    false_neg = [r for r in rows if r["dup_of_existing"] and not r["bloom_candidate"]]
+    assert not false_neg
+    assert any(r["dup_of_existing"] for r in rows)
+    false_pos = [r for r in rows if r["bloom_candidate"] and not r["dup_of_existing"]]
+    assert false_pos  # the (m, k) sizing is chosen to exercise this path
+
+
+def test_hits_exact_structure(spark, sf_dir):
+    """HITS invariants on the host graph: scores are max-normalized
+    (max == HITS_SCALE on each side), pure sinks (no out-edges) have
+    hub 0, pure sources (no in-edges) have authority 0."""
+    from osm_data_classification_spark.operators.components import (
+        HITS_SCALE,
+        host_link_edges,
+        webgraph_hits_exact,
+    )
+
+    rows = {r["host"]: r for r in webgraph_hits_exact(spark, sf_dir).collect()}
+    assert rows
+    assert max(r["auth_x1e9"] for r in rows.values()) == HITS_SCALE
+    assert max(r["hub_x1e9"] for r in rows.values()) == HITS_SCALE
+    edges = host_link_edges(spark, sf_dir).collect()
+    srcs = {e["src"] for e in edges}
+    dsts = {e["dst"] for e in edges}
+    for h, r in rows.items():
+        if h not in srcs:
+            assert r["hub_x1e9"] == 0, h
+        if h not in dsts:
+            assert r["auth_x1e9"] == 0, h

@@ -92,9 +92,19 @@ def main() -> None:
             print(f"| {name} | MISSING | | | |")
             continue
         spark.catalog.clearCache()
+        # snapshot BEFORE fn(): iterative operators (pagerank, HITS,
+        # the stream entries) do their shuffling eagerly inside fn()
+        # via localCheckpoint — measuring only the final action would
+        # read 0 B for them
         before = stage_stats(api)
-        n = spec.fn(spark, SF_DIR).count()
+        df = spec.fn(spark, SF_DIR)
+        # noop sink, NOT count(): under count() Catalyst prunes every
+        # column out of the exchanges (a 5k-row shuffle measured 59 B)
+        # — the noop write materializes full rows, so the bytes are
+        # what a real sink would shuffle
+        df.write.format("noop").mode("overwrite").save()
         after = stage_stats(api)
+        n = df.count()  # outside the measured span
         new = {k: v for k, v in after.items() if k not in before}
         w = sum(v[0] for v in new.values())
         r = sum(v[1] for v in new.values())

@@ -502,3 +502,109 @@ def webgraph_hits_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a").alias("auth_x1e9"),
         F.col("h").alias("hub_x1e9"),
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the (undirected) host link graph
+# ---------------------------------------------------------------------------
+
+
+def _tri_sql() -> str:
+    return f"""
+    WITH {_prx_edges_sql()},
+    und AS MATERIALIZED (
+        SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM edges
+    ),
+    degu AS MATERIALIZED (
+        SELECT h AS node, COUNT(*) AS d FROM (
+            SELECT u AS h FROM und UNION ALL SELECT v FROM und
+        ) GROUP BY h
+    ),
+    orient AS MATERIALIZED (
+        -- a -> b iff rank(a) < rank(b), rank = (degree, node id):
+        -- every undirected edge gets exactly one direction, and out-
+        -- degrees are bounded by O(sqrt(m))
+        SELECT CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.u ELSE e.v END AS a,
+               CASE WHEN (da.d, e.u) < (db.d, e.v) THEN e.v ELSE e.u END AS b,
+               CASE WHEN (da.d, e.u) < (db.d, e.v) THEN db.d ELSE da.d END AS bd
+        FROM und e
+        JOIN degu da ON da.node = e.u
+        JOIN degu db ON db.node = e.v
+    ),
+    tri AS MATERIALIZED (
+        SELECT o1.a AS x, o1.b AS y, o2.b AS z
+        FROM orient o1
+        JOIN orient o2 ON o2.a = o1.a AND (o1.bd, o1.b) < (o2.bd, o2.b)
+        JOIN orient o3 ON o3.a = o1.b AND o3.b = o2.b
+    )
+    SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+        SELECT x AS host FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri
+    ) GROUP BY host
+    """
+
+
+@_register("webgraph_triangle_count", _tri_sql())
+def webgraph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts over the undirected host link graph —
+    the clustering-coefficient numerator a link-spam / community
+    detector reads (a host whose neighbors interlink is a community
+    hub; a high-degree host with zero triangles is a classic link
+    farm signature).
+
+    Degree-ordered orientation, the MPC-scalable algorithm: each
+    undirected edge is directed from lower to higher (degree, id)
+    rank, which (a) counts every triangle exactly once as the wedge
+    b←a→c (rank(b)<rank(c)) closed by the oriented edge b→c, and (b)
+    bounds every out-degree by O(√m), so the wedge self-join — the
+    only superlinear step — generates at most Σ outdeg² ≤ m^1.5
+    candidates regardless of skew (a celebrity host with 10^6
+    in-links contributes NO wedges from its own fan-in, because those
+    edges orient INTO it ... the property that makes this survive
+    power-law web graphs where the naive neighbor-join explodes).
+
+    All steps are equi-joins on host id plus one distinct — the graph
+    never leaves the cluster, no adjacency list is collected. FULL
+    oracle: DuckDB repeats orientation, wedge join, and closure."""
+    edges = host_link_edges(spark, sf_dir)
+    und = edges.select(
+        F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+    ).distinct()
+    degu = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = degu.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    db = degu.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    ranked = und.join(da, "u").join(db, "v")
+    fwd = F.struct("du", "u") < F.struct("dv", "v")
+    orient = ranked.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(fwd, F.col("dv")).otherwise(F.col("du")).alias("bd"),
+    ).persist()
+    o1 = orient.select(
+        F.col("a"), F.col("b").alias("y"), F.col("bd").alias("yd")
+    )
+    o2 = orient.select(
+        F.col("a"), F.col("b").alias("z"), F.col("bd").alias("zd")
+    )
+    wedges = o1.join(o2, "a").where(
+        F.struct("yd", "y") < F.struct("zd", "z")
+    )
+    closer = orient.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tri = wedges.join(closer, ["y", "z"]).select(
+        F.col("a").alias("x"), "y", "z"
+    )
+    out = (
+        tri.select(F.col("x").alias("host"))
+        .unionAll(tri.select(F.col("y").alias("host")))
+        .unionAll(tri.select(F.col("z").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return out

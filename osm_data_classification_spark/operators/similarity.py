@@ -596,3 +596,152 @@ def embed_drift_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         for d in range(_DRIFT_DIMS)
     ]
     return emb.groupBy("label").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) top-k — the compressed-codebook ANN rung
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8                      # subspaces (64 dims -> 8 x 8)
+_PQ_SUB = EMB_DIM // _PQ_M     # dims per subspace
+_PQ_K = 16                     # centroids per subspace
+_PQ_ANCHOR0 = 10               # codebook = subvectors of vec_id 10..25
+
+
+def _pq_sql() -> str:
+    d, m, k, a0 = _PQ_SUB, _PQ_M, _PQ_K, _PQ_ANCHOR0
+    diff = "(CAST(d.v[i] AS DOUBLE) - CAST(c.v[i] AS DOUBLE))"
+    return f"""
+    WITH sub AS MATERIALIZED (
+        SELECT vec_id, s, embedding[s*{d}+1 : s*{d}+{d}] AS v
+        FROM embeddings, generate_series(0, {m - 1}) AS g(s)
+    ),
+    cb AS MATERIALIZED (
+        SELECT s, vec_id - {a0} AS j, v FROM sub
+        WHERE vec_id BETWEEN {a0} AND {a0 + k - 1}
+    ),
+    dist AS MATERIALIZED (
+        SELECT d.vec_id, d.s, c.j,
+               CAST(SUM(CAST(round({diff} * {diff}, 12)
+                    AS DECIMAL(38,15))) AS DECIMAL(38,15)) AS dsq
+        FROM sub d JOIN cb c ON c.s = d.s,
+             generate_series(1, {d}) AS g(i)
+        GROUP BY d.vec_id, d.s, c.j
+    ),
+    codes AS MATERIALIZED (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT vec_id, s, j,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dsq ASC, j ASC) AS rn
+            FROM dist)
+        WHERE rn = 1
+    ),
+    lut AS MATERIALIZED (
+        SELECT vec_id AS qid, s, j, dsq FROM dist WHERE vec_id < {N_QUERIES}
+    ),
+    adc AS (
+        SELECT l.qid, c.vec_id AS cid, CAST(SUM(l.dsq) AS DOUBLE) AS adc_dist
+        FROM codes c JOIN lut l ON l.s = c.s AND l.j = c.code
+        GROUP BY l.qid, c.vec_id
+    )
+    SELECT qid, cid, adc_dist,
+           CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY adc_dist ASC, cid ASC) AS BIGINT) AS rank
+    FROM adc
+    QUALIFY rank <= {TOP_K}
+    """
+
+
+def _dec_l2sq(x, y):
+    """Order-insensitive squared L2 distance of two float slices: each
+    squared difference rounds to 12 decimals and sums as DECIMAL —
+    bit-identical in Spark and DuckDB regardless of fold order (the
+    dec_dot_col construction, applied to (a-b)^2 terms)."""
+    diffs = F.zip_with(
+        x, y,
+        lambda a, b: F.round(
+            (a.cast("double") - b.cast("double"))
+            * (a.cast("double") - b.cast("double")),
+            12,
+        ),
+    )
+    return F.aggregate(
+        diffs,
+        F.lit(0).cast("decimal(38,15)"),
+        lambda acc, v: (acc + v.cast("decimal(38,15)")).cast("decimal(38,15)"),
+    )
+
+
+@_register("ann_pq_topk", _pq_sql())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-k — the last rung of the ANN ladder
+    (exact → LSH → IVF → int8 → PQ): vectors are split into M=8
+    subspaces of 8 dims; each subvector is assigned to its nearest of
+    K=16 codebook centroids (code = 4 bits × 8 subspaces = 8 bytes per
+    64-float vector, a 32× compression); a probe's distance to a
+    candidate is the ADC approximation Σ_s lut[s, code_s] where the
+    LUT holds the probe's exact distance to every centroid.
+
+    The codebook is DATA-DEFINED and deterministic — the subvectors of
+    vec_id 10..25 — so both engines derive the identical codebook from
+    the table with no trained-kmeans nondeterminism; all distances use
+    the rounded-decimal fold (order-insensitive, engine-exact), and
+    ties break on centroid/candidate id, making the whole PQ pipeline
+    a FULL value oracle.
+
+    Scale shape: assignment is |vecs|×M rows joined to the broadcast
+    128-row codebook (one shuffle-free scan + a windowed argmin over
+    16 rows per key); the scan side of retrieval streams 8-BYTE codes,
+    not float vectors, joined to the broadcast probe LUT (Q×M×K rows)
+    — at 10^9 vectors that is the classic memory-resident-PQ layout:
+    compute O(|vecs|·M) adds, bytes 32× down, float vectors touched
+    only if a rerank stage follows (ann_cosine_topk is that stage)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"),
+                    F.slice("embedding", s * _PQ_SUB + 1, _PQ_SUB).alias("v"),
+                )
+                for s in range(_PQ_M)
+            ])
+        ).alias("x"),
+    ).select("vec_id", F.col("x.s").alias("s"), F.col("x.v").alias("v"))
+    cb = subs.filter(
+        (F.col("vec_id") >= _PQ_ANCHOR0)
+        & (F.col("vec_id") < _PQ_ANCHOR0 + _PQ_K)
+    ).select(
+        "s",
+        (F.col("vec_id") - _PQ_ANCHOR0).alias("j"),
+        F.col("v").alias("cv"),
+    )
+    dist = subs.join(F.broadcast(cb), "s").select(
+        "vec_id", "s", "j", _dec_l2sq(F.col("v"), F.col("cv")).alias("dsq")
+    )
+    w_arg = Window.partitionBy("vec_id", "s").orderBy(
+        F.asc("dsq"), F.asc("j")
+    )
+    codes = (
+        dist.withColumn("rn", F.row_number().over(w_arg))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", F.col("j").alias("code"))
+    )
+    lut = dist.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "s", "j", "dsq"
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["s"] == lut["s"]) & (codes["code"] == lut["j"]),
+        )
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("dsq").cast("double").alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("cid"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select("qid", "cid", "adc_dist", F.col("rank").cast("long").alias("rank"))
+    )

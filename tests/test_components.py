@@ -178,3 +178,31 @@ def test_pagerank_exact_parallels_float_variant(spark, sf_dir):
     fv = np.array([f[h] for h in hosts])
     iv = np.array([float(i[h]) for h in hosts])
     assert np.max(np.abs(fv / fv.sum() - iv / iv.sum())) < 1e-3
+
+
+def test_triangle_count_matches_numpy_bruteforce(spark, sf_dir):
+    """Independent gate for webgraph_triangle_count: the Spark and SQL
+    sides share the orientation construction, so a systematic bug
+    would pass the driver hash — numpy's adjacency-matrix count
+    (diag(A^3)/2 per node, trace/6 total) can't share it."""
+    import numpy as np
+
+    from osm_data_classification_spark.operators.components import (
+        PR_HOSTS,
+        host_link_edges,
+        webgraph_triangle_count,
+    )
+
+    edges = host_link_edges(spark, sf_dir).collect()
+    A = np.zeros((PR_HOSTS, PR_HOSTS), dtype=np.int64)
+    for e in edges:
+        A[e["src"], e["dst"]] = 1
+        A[e["dst"], e["src"]] = 1
+    A3 = A @ A @ A
+    per_node = {h: int(A3[h, h]) // 2 for h in range(PR_HOSTS) if A3[h, h]}
+    got = {
+        r["host"]: r["n_triangles"]
+        for r in webgraph_triangle_count(spark, sf_dir).collect()
+    }
+    assert got == per_node
+    assert sum(got.values()) == int(np.trace(A3)) // 6 * 3

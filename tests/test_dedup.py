@@ -246,3 +246,55 @@ def test_hits_exact_structure(spark, sf_dir):
             assert r["hub_x1e9"] == 0, h
         if h not in dsts:
             assert r["auth_x1e9"] == 0, h
+
+
+def test_pq_codebook_identity_and_ladder(spark, sf_dir):
+    """PQ invariants: each codebook anchor quantizes to ITSELF in every
+    subspace (its distance-0 centroid), ADC distances are non-negative,
+    and every probe gets exactly TOP_K ranked neighbors."""
+    from osm_data_classification_spark.operators.similarity import (
+        _PQ_ANCHOR0,
+        _PQ_K,
+        _PQ_M,
+        N_QUERIES,
+        TOP_K,
+        ann_pq_topk,
+    )
+
+    rows = ann_pq_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        assert r["adc_dist"] >= 0.0
+        by_q.setdefault(r["qid"], []).append(r["rank"])
+    assert set(by_q) == set(range(N_QUERIES))
+    assert all(sorted(v) == list(range(1, TOP_K + 1)) for v in by_q.values())
+    # anchors code to themselves: rebuild codes via the module internals
+    from pyspark.sql import functions as F
+
+    from osm_data_classification_spark.io import load_table
+    from osm_data_classification_spark.operators.similarity import _PQ_SUB, _dec_l2sq
+
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        (F.col("vec_id") >= _PQ_ANCHOR0) & (F.col("vec_id") < _PQ_ANCHOR0 + _PQ_K)
+    )
+    for s in (0, _PQ_M - 1):
+        sub = emb.select(
+            "vec_id", F.slice("embedding", s * _PQ_SUB + 1, _PQ_SUB).alias("v")
+        )
+        a = sub.alias("a")
+        b = sub.select(
+            (F.col("vec_id") - _PQ_ANCHOR0).alias("j"), F.col("v").alias("cv")
+        ).alias("b")
+        d = a.crossJoin(b).select(
+            "vec_id", "j", _dec_l2sq(F.col("v"), F.col("cv")).alias("dsq")
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("vec_id").orderBy(F.asc("dsq"), F.asc("j"))
+        best = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .collect()
+        )
+        for r in best:
+            assert r["j"] == r["vec_id"] - _PQ_ANCHOR0, (s, r)

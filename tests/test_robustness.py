@@ -206,7 +206,8 @@ EMPTY_INPUT_QUERIES = [
     "crawl_recrawl_priority", "crawl_robots_filter", "warc_roundtrip_parse",
     "bpe_pair_counts", "rollup_grouping_sets", "window_range_trailing_sum",
     "embed_drift_centroid", "stream_watermark_late_drop",
-    "dedup_bloom_prefilter", "webgraph_hits_exact",
+    "dedup_bloom_prefilter", "webgraph_hits_exact", "ann_pq_topk",
+    "webgraph_triangle_count",
 ]
 
 

@@ -1259,6 +1259,148 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(sink_parent, ignore_errors=True)
 
 
+_SESS_GAP = "2 days"      # session gap (events are sparse per user)
+_SESS_GAP_SQL = "INTERVAL 2 DAY"
+
+
+@register(
+    "stream_session_dwell",
+    f"""
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > {_SESS_GAP_SQL}
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_sess) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS sid
+        FROM flagged
+    ),
+    agg AS (
+        SELECT user_id,
+               strftime(MIN(ts), '{TS_FMT_DUCK}') AS session_start,
+               MAX(ts) + {_SESS_GAP_SQL} AS sess_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(event_id) AS BIGINT) AS sum_event_id
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start,
+           strftime(sess_end, '{TS_FMT_DUCK}') AS session_end,
+           n_events, sum_event_id
+    FROM agg
+    WHERE sess_end <= (SELECT max(ts) - INTERVAL 1 HOUR FROM events)
+    """,
+)
+def stream_session_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 STREAMING session windows — the third streaming semantic
+    pinned end-to-end (dedup: stream_dedup_recrawl; watermark
+    drop/hold: stream_watermark_late_drop; here: cross-batch session
+    MERGE). Events stream in event-time order as three mtime-pinned
+    files (days 1–10 / 11–20 / 21–30); per-user sessions with a 2-day
+    gap are aggregated in APPEND mode, so a session straddling a file
+    boundary lives in the state store as an OPEN window after its
+    first batch and must MERGE with the next batch's rows — the
+    session_window state-merge path batch sessionization never
+    exercises.
+
+    A session closes when the watermark (1h delay) passes its end
+    (last event + gap); availableNow's trailing flush batches run the
+    final watermark forward (the stream_watermark_late_drop lesson),
+    so the sink holds exactly the sessions with end ≤ max_ts − 1h —
+    each user's final session stays OPEN in state and must NOT be
+    emitted. FULL oracle: DuckDB sessionizes with the identical gap
+    rule (lag/cumsum) and applies the same closed-session predicate;
+    an engine that mis-merges across batches splits sessions and
+    mismatches on n_events, one that flushes open state on shutdown
+    emits extra rows.
+
+    Scale shape: state is bounded by OPEN sessions (≤ active users),
+    never input rows; the input is one pass, no pre-shuffle beyond
+    the session-window aggregation's own exchange."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.errors import AnalysisException
+
+    from ..streaming.pipeline import EVENTS_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events")
+    t1 = F.lit(_WM_T1).cast("timestamp")
+    t2 = F.lit(_WM_T2).cast("timestamp")
+    arrivals = [
+        ev.where(F.col("ts") < t1),
+        ev.where((F.col("ts") >= t1) & (F.col("ts") < t2)),
+        ev.where(F.col("ts") >= t2),
+    ]
+    src = tempfile.mkdtemp(prefix="cat_sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="cat_sess_ckpt_")
+    sink_parent = tempfile.mkdtemp(prefix="cat_sess_sink_")
+    sink = sink_parent + "/out"
+    try:
+        for i, batch in enumerate(arrivals):
+            stage = os.path.join(src, f"_stage{i}")
+            batch.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = next(
+                (f for f in os.listdir(stage) if f.endswith(".parquet")), None
+            )
+            if part is None:
+                shutil.rmtree(stage)
+                continue
+            dst = os.path.join(src, f"batch{i}.parquet")
+            shutil.move(os.path.join(stage, part), dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i))
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        agg = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(
+                F.session_window("ts", _SESS_GAP).alias("w"), "user_id"
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("event_id").cast("long").alias("sum_event_id"),
+            )
+        )
+        q = (
+            agg.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            emitted = spark.read.parquet(sink)
+        except AnalysisException:
+            emitted = spark.createDataFrame(
+                [],
+                "w struct<start:timestamp,end:timestamp>, user_id long,"
+                " n_events long, sum_event_id long",
+            )
+        out = emitted.select(
+            "user_id",
+            ts_str(F.col("w.start")).alias("session_start"),
+            ts_str(F.col("w.end")).alias("session_end"),
+            "n_events",
+            "sum_event_id",
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink_parent, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # table profiling (ANALYZE-style column statistics)
 # ---------------------------------------------------------------------------

@@ -326,3 +326,34 @@ def test_cross_snapshot_dedup_joins_on_fingerprint(spark, sf_dir):
     df = _q("dedup_cross_snapshot")(spark, sf_dir)
     kinds = " ".join(audit.join_kinds(df)).lower()
     assert "nestedloop" not in kinds and "cartesian" not in kinds
+
+
+def test_bloom_prefilter_broadcasts_filter_and_truth_sides(spark, sf_dir):
+    """The bloom bit table (≤ m rows by construction) and the exact
+    old-fingerprint join must both broadcast — the probe side is the
+    only data-sized input and it must never be the build side."""
+    df = _q("dedup_bloom_prefilter")(spark, sf_dir)
+    kinds = audit.join_kinds(df)
+    assert kinds.count("BroadcastHashJoin") >= 2, kinds
+    assert "SortMergeJoin" not in kinds, kinds
+
+
+def test_pq_scores_against_broadcast_codebook_and_lut(spark, sf_dir):
+    """PQ assignment joins the broadcast 128-row codebook; ADC joins
+    the broadcast probe LUT — the vector/code side streams, matching
+    the memory-resident PQ layout claimed in SCALE.md."""
+    df = _q("ann_pq_topk")(spark, sf_dir)
+    kinds = audit.join_kinds(df)
+    assert kinds.count("BroadcastHashJoin") >= 2, kinds
+    assert "SortMergeJoin" not in kinds, kinds
+    assert "CartesianProduct" not in kinds, kinds
+
+
+def test_triangle_count_no_cartesian(spark, sf_dir):
+    """The wedge join is an equi-join on the pivot node and the
+    closure an equi-join on (y, z) — a plan that degrades to a
+    cartesian or a broadcast nested loop has lost the equi-keys."""
+    df = _q("webgraph_triangle_count")(spark, sf_dir)
+    nodes = " ".join(audit.plan_nodes(df))
+    assert "CartesianProduct" not in nodes, nodes
+    assert "BroadcastNestedLoopJoin" not in nodes, nodes

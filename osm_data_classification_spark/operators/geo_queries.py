@@ -1568,3 +1568,98 @@ def geo_quant_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# geohash encoding (base32, bit-interleaved) — third tile-key family
+# ---------------------------------------------------------------------------
+
+_GH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+_GH_HALF = 20   # bits per coordinate -> 8 base32 chars
+_GH_COARSE = 10  # -> 4 chars; gh8[1:4] == gh4 (floor-of-floor)
+
+
+def _gh_bit(p: int, x: str, y: str, half: int) -> str:
+    """SQL for interleaved-stream bit p (0 = MSB, lon first)."""
+    if p % 2 == 0:
+        return f"(({x}) >> {half - 1 - p // 2}) & 1"
+    return f"(({y}) >> {half - 1 - (p - 1) // 2}) & 1"
+
+
+def _gh_sql(x: str, y: str, half: int) -> str:
+    chars = []
+    for i in range(2 * half // 5):
+        val = " + ".join(
+            f"(({_gh_bit(5 * i + j, x, y, half)}) << {4 - j})" for j in range(5)
+        )
+        chars.append(f"substr('{_GH_B32}', CAST({val} AS INTEGER) + 1, 1)")
+    return " || ".join(chars)
+
+
+def _gh_col(x, y, half: int):
+    def bit(p: int):
+        if p % 2 == 0:
+            return F.shiftright(x, half - 1 - p // 2).bitwiseAND(F.lit(1))
+        return F.shiftright(y, half - 1 - (p - 1) // 2).bitwiseAND(F.lit(1))
+
+    chars = []
+    for i in range(2 * half // 5):
+        val = F.lit(0)
+        for j in range(5):
+            val = val + F.shiftleft(bit(5 * i + j), 4 - j)
+        chars.append(
+            F.substring(F.lit(_GH_B32), 1, 32).substr(
+                (val + 1).cast("int"), F.lit(1)
+            )
+        )
+    return F.concat(*chars)
+
+
+def _geohash_sql() -> str:
+    return f"""
+    WITH {PAGES_SQL},
+    xy AS (
+        SELECT url, warc_ts,
+               {X_SQL('lon', _GH_HALF)} AS x20, {Y_SQL('lat', _GH_HALF)} AS y20,
+               {X_SQL('lon', _GH_COARSE)} AS x10, {Y_SQL('lat', _GH_COARSE)} AS y10
+        FROM pages
+    )
+    SELECT url, warc_ts,
+           {_gh_sql('x20', 'y20', _GH_HALF)} AS gh8,
+           {_gh_sql('x10', 'y10', _GH_COARSE)} AS gh4,
+           substr({_gh_sql('x20', 'y20', _GH_HALF)}, 1, 4)
+               = {_gh_sql('x10', 'y10', _GH_COARSE)} AS prefix_ok
+    FROM xy
+    """
+
+
+@_register("geo_geohash_encode", _geohash_sql())
+def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 geo scalars, third tile-key family: base32 geohash — the
+    key format used by redis/elasticsearch geo indexes and many crawl
+    stores, alongside the Morton int64 (cells.py) and the quadkey
+    string (geo_quadkey_encode). 40 interleaved bits (lon first, MSB
+    first) render as 8 base32 chars; a 20-bit twin renders 4 chars,
+    and `prefix_ok` pins the geohash containment invariant — the
+    4-char prefix of the fine hash equals the independently-floored
+    coarse hash (floor-of-floor through the bit interleave).
+
+    Map-only plan: quantization (shared X_SQL/xy_cols grid helpers),
+    40 bit-extracts, and 8 substr lookups are all JVM expressions in
+    one codegen stage — no shuffle, no Python, linear scan at any
+    scale. FULL oracle: DuckDB re-derives both hashes from the same
+    integer arithmetic."""
+    from ..geo.cells import xy_cols
+
+    pages = geocoded_pages(spark, sf_dir, res=7)
+    x20, y20 = xy_cols(F.col("lon"), F.col("lat"), _GH_HALF)
+    x10, y10 = xy_cols(F.col("lon"), F.col("lat"), _GH_COARSE)
+    gh8 = _gh_col(x20, y20, _GH_HALF)
+    gh4 = _gh_col(x10, y10, _GH_COARSE)
+    return pages.select(
+        "url",
+        "warc_ts",
+        gh8.alias("gh8"),
+        gh4.alias("gh4"),
+        (F.substring(gh8, 1, 4) == gh4).alias("prefix_ok"),
+    )

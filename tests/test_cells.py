@@ -327,3 +327,59 @@ def test_compact_cells_random_covers_property(spark):
         got = sorted((r["res"], r["cell"] & ((1 << 56) - 1)) for r in rows)
         assert got == sorted(model)
         assert sum(r["n_leaves"] for r in rows) == len(ms)
+
+
+def test_geohash_matches_textbook_bisection(spark, sf_dir):
+    """Independent gate for geo_geohash_encode: the catalog op builds
+    the hash by quantize-then-interleave; the textbook algorithm is
+    successive interval bisection. For even-length hashes the two are
+    equivalent — this re-derivation can't share a bug with the SQL
+    oracle, which mirrors the quantize path."""
+    from osm_data_classification_spark.operators.geo_queries import (
+        _GH_B32,
+        geo_geohash_encode,
+    )
+
+    def bisect_geohash(lon, lat, nchars):
+        lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+        # the engine wraps lon into [-180, 180) first
+        lon = ((lon + 180.0) % 360.0) - 180.0
+        bits, out, even = 0, [], True
+        ch = 0
+        for _ in range(nchars * 5):
+            if even:
+                mid = (lo_lon + hi_lon) / 2
+                b = 1 if lon >= mid else 0
+                lo_lon, hi_lon = (mid, hi_lon) if b else (lo_lon, mid)
+            else:
+                mid = (lo_lat + hi_lat) / 2
+                b = 1 if lat >= mid else 0
+                lo_lat, hi_lat = (mid, hi_lat) if b else (lo_lat, mid)
+            even = not even
+            ch = (ch << 1) | b
+            bits += 1
+            if bits == 5:
+                out.append(_GH_B32[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    rows = geo_geohash_encode(spark, sf_dir).limit(200).collect()
+    assert rows
+    # re-join lon/lat for the same pages
+    from osm_data_classification_spark.sources.pages import geocoded_pages
+
+    coords = {
+        r["url"]: (r["lon"], r["lat"])
+        for r in geocoded_pages(spark, sf_dir, res=7)
+        .select("url", "lon", "lat")
+        .dropDuplicates(["url"])
+        .collect()
+    }
+    checked = 0
+    for r in rows:
+        lon, lat = coords[r["url"]]
+        assert r["gh8"] == bisect_geohash(lon, lat, 8), (lon, lat, r["gh8"])
+        assert r["gh4"] == bisect_geohash(lon, lat, 4)
+        assert r["prefix_ok"] is True
+        checked += 1
+    assert checked == len(rows)

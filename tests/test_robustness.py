@@ -207,7 +207,7 @@ EMPTY_INPUT_QUERIES = [
     "bpe_pair_counts", "rollup_grouping_sets", "window_range_trailing_sum",
     "embed_drift_centroid", "stream_watermark_late_drop",
     "dedup_bloom_prefilter", "webgraph_hits_exact", "ann_pq_topk",
-    "webgraph_triangle_count", "stream_session_dwell",
+    "webgraph_triangle_count", "stream_session_dwell", "geo_geohash_encode",
 ]
 
 

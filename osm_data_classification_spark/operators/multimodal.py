@@ -23,6 +23,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..io import load_table
 from .relational import QuerySpec
@@ -248,3 +249,76 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
     return sample_frames(docs)
+
+
+# ---------------------------------------------------------------------------
+# scene-cut detection over the sampled frame stream
+# ---------------------------------------------------------------------------
+
+_CUT_THRESH = 96  # |feature delta| above this = a cut (byte-scale 0..255)
+
+_SCENE_SQL = f"""
+    WITH frames AS MATERIALIZED ({_FRAMES_SQL}),
+    feat AS (
+        SELECT doc_id, frame_idx,
+               CAST('0x' || substr(frame_md5, 1, 2) AS BIGINT) AS f
+        FROM frames
+    ),
+    delta AS (
+        SELECT doc_id, frame_idx,
+               abs(f - lag(f) OVER (PARTITION BY doc_id
+                                    ORDER BY frame_idx)) AS d
+        FROM feat
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames_sampled,
+           CAST(SUM(CASE WHEN d > {_CUT_THRESH} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cuts,
+           CAST(COALESCE(MIN(CASE WHEN d > {_CUT_THRESH}
+                                  THEN frame_idx END), -1)
+                AS BIGINT) AS first_cut_idx
+    FROM delta GROUP BY doc_id
+"""
+
+
+@_register("mm_scene_cut", _SCENE_SQL)
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection — the video-pipeline step after frame
+    sampling: adjacent sampled frames are compared by a per-frame
+    feature and a cut is declared where the feature jumps by more
+    than a threshold (96 on the 0..255 scale). The per-frame feature
+    here is the first byte of the frame digest — the same
+    deterministic stand-in boundary as mm_decode_features: a real
+    codec would emit a color histogram at exactly this point in the
+    plan (per-frame row → scalar feature), and NOTHING downstream
+    changes — the lag-window delta, the threshold, and the per-video
+    rollup (frame count, cut count, first cut index) are the real
+    pipeline.
+
+    Scale shape: frame explosion is the Arrow-batched iterator UDF
+    (mapInPandas, more rows out than in); the cut detector is one
+    window over (doc_id, frame_idx) — hash exchange on doc_id, state
+    one row deep; the rollup partial-aggregates. Works identically at
+    10^9 videos because no stage ever sees more than one video's
+    frames in order. FULL oracle: DuckDB re-derives frames, features,
+    lag deltas, and the rollup."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    frames = sample_frames(docs)
+    feat = F.conv(F.substring("frame_md5", 1, 2), 16, 10).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    delta = frames.select(
+        "doc_id",
+        "frame_idx",
+        F.abs(feat - F.lag(feat).over(w)).alias("d"),
+    )
+    cut = F.when(F.col("d") > _CUT_THRESH, 1).otherwise(0)
+    return delta.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames_sampled"),
+        F.sum(cut).cast("long").alias("n_cuts"),
+        F.coalesce(
+            F.min(F.when(F.col("d") > _CUT_THRESH, F.col("frame_idx"))),
+            F.lit(-1),
+        ).cast("long").alias("first_cut_idx"),
+    )

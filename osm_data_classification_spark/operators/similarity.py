@@ -745,3 +745,102 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("qid", "cid", "adc_dist", F.col("rank").cast("long").alias("rank"))
     )
+
+
+# ---------------------------------------------------------------------------
+# matryoshka (prefix-truncated) retrieval agreement audit
+# ---------------------------------------------------------------------------
+
+_MRL_DIM = 16  # prefix dims scored against the full EMB_DIM ranking
+
+
+def _mrl_sql() -> str:
+    return f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id AS qid, embedding AS eq FROM embeddings
+        WHERE vec_id < {N_QUERIES}
+    ),
+    fulld AS MATERIALIZED (
+        SELECT q.qid, c.vec_id AS cid,
+               {DEC_SUM_PROD('q.eq[i]', 'c.embedding[i]')} AS dot
+        FROM q CROSS JOIN embeddings c,
+             generate_series(1, {EMB_DIM}) AS g(i)
+        GROUP BY q.qid, c.vec_id
+    ),
+    truncd AS MATERIALIZED (
+        SELECT q.qid, c.vec_id AS cid,
+               {DEC_SUM_PROD('q.eq[i]', 'c.embedding[i]')} AS dot
+        FROM q CROSS JOIN embeddings c,
+             generate_series(1, {_MRL_DIM}) AS g(i)
+        GROUP BY q.qid, c.vec_id
+    ),
+    fullk AS MATERIALIZED (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dot DESC, cid ASC) AS rnk
+        FROM fulld QUALIFY rnk <= {TOP_K}
+    ),
+    trunck AS MATERIALIZED (
+        SELECT qid, cid,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY dot DESC, cid ASC) AS rnk
+        FROM truncd QUALIFY rnk <= {TOP_K}
+    )
+    SELECT f.qid,
+           CAST(SUM(CASE WHEN t.cid IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           bool_or(f.rnk = 1 AND t.rnk = 1) AS top1_match
+    FROM fullk f LEFT JOIN trunck t ON t.qid = f.qid AND t.cid = f.cid
+    GROUP BY f.qid
+    """
+
+
+@_register("embed_matryoshka_topk", _mrl_sql())
+def embed_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit — the measurement behind
+    the "can we serve the 16-dim prefix instead of the full vector?"
+    decision every MRL-style embedding deployment makes: rank all
+    candidates by full-dim dot product AND by the 16-dim-prefix dot
+    product, then report per probe how many of the full top-k survive
+    truncation (recall@k of the prefix index) and whether the top-1
+    agrees. Both rankings use the order-insensitive decimal fold and
+    (dot DESC, cid ASC) tie-breaks, so the agreement counts are
+    engine-exact — a FULL value oracle over a float-retrieval
+    property, which is normally the hard thing to pin.
+
+    Scale shape: two broadcast-probe scans (the ann_cosine_topk plan,
+    one at 1/4 the bytes) + a per-probe top-k window each + one tiny
+    join of two k-row-per-probe tables. The audit is how a real
+    pipeline picks the serving dimension BEFORE building the
+    compressed index (the PQ/int8 rungs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("eq")
+    )
+
+    def topk(dim: int) -> DataFrame:
+        pairs = emb.crossJoin(F.broadcast(q))
+        dot = dec_dot_col(
+            F.slice("eq", 1, dim), F.slice("embedding", 1, dim)
+        )
+        scored = pairs.select(
+            "qid", F.col("vec_id").alias("cid"), dot.alias("dot")
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("dot"), F.asc("cid"))
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("qid", "cid", "rnk")
+        )
+
+    fullk = topk(EMB_DIM)
+    trunck = topk(_MRL_DIM).withColumnRenamed("rnk", "trnk")
+    joined = fullk.join(trunck, ["qid", "cid"], "left")
+    return joined.groupBy("qid").agg(
+        F.sum(
+            F.when(F.col("trnk").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_overlap"),
+        F.max(
+            (F.col("rnk") == 1) & (F.coalesce("trnk", F.lit(0)) == 1)
+        ).alias("top1_match"),
+    )

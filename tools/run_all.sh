@@ -18,6 +18,9 @@ python tools/bench_scaling.py
 echo "== single-node reference-style comparison =="
 python tools/bench_reference_style.py
 
+echo "== measured shuffle bytes (SCALE.md evidence) =="
+python tools/measure_shuffles.py
+
 echo "== operator coverage report =="
 python tools/coverage_report.py
 

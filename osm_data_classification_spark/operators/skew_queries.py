@@ -159,3 +159,68 @@ def host_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("__len").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-host document cap (anti-domination sampling)
+# ---------------------------------------------------------------------------
+
+_HOST_CAP = 2  # max distinct urls kept per host at the sandbox scale
+
+
+def _host_cap_sql() -> str:
+    from ..geo.cells_sql import PAGES_SQL
+    from .portable import PHASH
+
+    return f"""
+    WITH {PAGES_SQL},
+    urls AS (
+        SELECT DISTINCT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+               url
+        FROM pages
+    ),
+    ranked AS (
+        SELECT host, url,
+               row_number() OVER (
+                   PARTITION BY host
+                   ORDER BY {PHASH('url')}, url
+               ) AS rn
+        FROM urls
+    )
+    SELECT host, url, (rn <= {_HOST_CAP}) AS kept
+    FROM ranked
+    """
+
+
+@_register("sample_host_cap", _host_cap_sql())
+def sample_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host document cap — the anti-domination step C4/RefinedWeb-
+    style corpora apply so no single domain floods the training mix:
+    within each host, documents are ranked by a PORTABLE hash (no
+    rand(), so the same documents survive at any parallelism, on any
+    engine, on any re-run) and only the first _HOST_CAP survive; the
+    per-doc kept flag is emitted rather than a filtered table so the
+    dropped set is auditable (and the driver hash pins BOTH sides of
+    the cut).
+
+    One distinct + one window over (host) — the window key is the
+    natural partition key, so the plan is a single hash exchange on
+    host; a mega-host skews one partition but the work per row is a
+    rank comparison, and at 10^12 docs the cap can be applied
+    per-bucket first (hash(url) % B) to pre-thin giant hosts before
+    the global rank — noted, not needed at any realistic host size.
+    FULL oracle: DuckDB repeats the hash ranking and the cap."""
+    pages = synth_pages(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    from .portable import phash_col
+
+    urls = pages.select(
+        F.regexp_extract("url", HOST_RE, 1).alias("host"), "url"
+    ).distinct()
+    w = Window.partitionBy("host").orderBy(phash_col(F.col("url")), F.col("url"))
+    return urls.select(
+        "host",
+        "url",
+        (F.row_number().over(w) <= _HOST_CAP).alias("kept"),
+    )

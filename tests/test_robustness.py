@@ -208,7 +208,7 @@ EMPTY_INPUT_QUERIES = [
     "embed_drift_centroid", "stream_watermark_late_drop",
     "dedup_bloom_prefilter", "webgraph_hits_exact", "ann_pq_topk",
     "webgraph_triangle_count", "stream_session_dwell", "geo_geohash_encode",
-    "mm_scene_cut", "embed_matryoshka_topk",
+    "mm_scene_cut", "embed_matryoshka_topk", "sample_host_cap",
 ]
 
 

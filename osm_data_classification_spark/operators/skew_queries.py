@@ -224,3 +224,72 @@ def sample_host_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url",
         (F.row_number().over(w) <= _HOST_CAP).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot coverage delta (crawl-ops freshness report)
+# ---------------------------------------------------------------------------
+
+_COV_SPLIT = "2024-02-15 00:00:00"  # crawl warc_ts spans Jan 1 - Mar 30
+
+
+def _snapshot_coverage_sql() -> str:
+    from ..geo.cells_sql import PAGES_SQL
+
+    return f"""
+    WITH {PAGES_SQL},
+    u AS (
+        SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host, url,
+               max(CASE WHEN warc_ts <  TIMESTAMP '{_COV_SPLIT}'
+                        THEN 1 ELSE 0 END) AS seen_before,
+               max(CASE WHEN warc_ts >= TIMESTAMP '{_COV_SPLIT}'
+                        THEN 1 ELSE 0 END) AS seen_after
+        FROM pages GROUP BY 1, 2
+    )
+    SELECT host,
+           CAST(SUM(CASE WHEN seen_after = 1 AND seen_before = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN seen_before = 1 AND seen_after = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_stale,
+           CAST(SUM(seen_before * seen_after) AS BIGINT) AS n_refreshed
+    FROM u GROUP BY host
+    """
+
+
+@_register("crawl_snapshot_coverage", _snapshot_coverage_sql())
+def crawl_snapshot_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-freshness delta report — the coverage dashboard an
+    incremental crawl runs after every snapshot: per host, how many
+    urls are NEW (first seen in the current period), STALE (known but
+    not re-crawled this period — recrawl-scheduler backlog), and
+    REFRESHED (crawled in both periods). The per-url recency profile
+    is one groupBy(host, url) with two conditional maxes; the host
+    rollup is a second partial-aggregatable groupBy — both map-side
+    combinable, so a 10^12-crawl log reduces to |urls| then |hosts|
+    rows with no skew-sensitive stage (a mega-host's urls spread
+    across partitions until the final |hosts|-row reduce).
+    FULL oracle: DuckDB repeats both rollups."""
+    pages = synth_pages(spark, sf_dir)
+    t = F.lit(_COV_SPLIT).cast("timestamp")
+    u = (
+        pages.select(
+            F.regexp_extract("url", HOST_RE, 1).alias("host"),
+            "url",
+            F.when(F.col("warc_ts") < t, 1).otherwise(0).alias("b"),
+            F.when(F.col("warc_ts") >= t, 1).otherwise(0).alias("a"),
+        )
+        .groupBy("host", "url")
+        .agg(F.max("b").alias("seen_before"), F.max("a").alias("seen_after"))
+    )
+    return u.groupBy("host").agg(
+        F.sum(
+            F.when((F.col("seen_after") == 1) & (F.col("seen_before") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_new"),
+        F.sum(
+            F.when((F.col("seen_before") == 1) & (F.col("seen_after") == 0), 1)
+            .otherwise(0)
+        ).cast("long").alias("n_stale"),
+        F.sum(F.col("seen_before") * F.col("seen_after"))
+        .cast("long").alias("n_refreshed"),
+    )

@@ -209,6 +209,7 @@ EMPTY_INPUT_QUERIES = [
     "dedup_bloom_prefilter", "webgraph_hits_exact", "ann_pq_topk",
     "webgraph_triangle_count", "stream_session_dwell", "geo_geohash_encode",
     "mm_scene_cut", "embed_matryoshka_topk", "sample_host_cap",
+    "crawl_snapshot_coverage",
 ]
 
 

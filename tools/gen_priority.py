@@ -26,13 +26,25 @@ Invariants asserted on the emitted window: exactly WINDOW names, all
 distinct, all in the catalog, anchors first, and no never-graded full
 oracle displaced by an already-graded entry.
 
+The generated block is stamped with the grade-history snapshot it was
+derived from (``# generated-from-rounds: 1,2,3``).  ``--check`` replays
+generation against exactly that stamped snapshot, so a driver-deposited
+``CORRECTNESS_r{N}.json`` landing AFTER the block was applied can never
+retroactively redden CI (r4 VERDICT "What's wrong" #1: the unstamped
+gate broke the moment the driver graded round 4).  The gate therefore
+catches what it is for — hand edits that diverge from the rotation
+policy — while the default (stampless) mode proposes the NEXT window
+from all grades on disk.
+
 Usage::
 
-    python tools/gen_priority.py            # print the window + audit
+    python tools/gen_priority.py            # print the next window + audit
     python tools/gen_priority.py --check    # exit 1 unless catalog.py
-                                            # PRIORITY == generated
+                                            # PRIORITY == regeneration from
+                                            # its own stamped snapshot
     python tools/gen_priority.py --apply    # rewrite the marked block
-                                            # in catalog.py in place
+                                            # in catalog.py in place,
+                                            # stamped with today's rounds
 """
 
 from __future__ import annotations
@@ -59,24 +71,43 @@ BEGIN = "# --- BEGIN GENERATED WINDOW (tools/gen_priority.py) ---"
 END = "# --- END GENERATED WINDOW ---"
 
 
-def grade_history() -> dict[str, int]:
-    """name -> latest round in which the driver graded it."""
-    latest: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+def available_rounds() -> list[int]:
+    """Rounds with a CORRECTNESS_r{N}.json on disk, ascending."""
+    rounds = []
+    for path in glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if not m:
+        if m:
+            rounds.append(int(m.group(1)))
+    return sorted(rounds)
+
+
+def grade_history(rounds: list[int] | None = None) -> dict[str, int]:
+    """name -> latest round in which the driver graded it.
+
+    ``rounds`` restricts the snapshot (the --check replay passes the
+    stamped list so later driver deposits cannot change the answer).
+    """
+    if rounds is None:
+        rounds = available_rounds()
+    latest: dict[str, int] = {}
+    for rnd in rounds:
+        path = os.path.join(ROOT, f"CORRECTNESS_r{rnd:02d}.json")
+        if not os.path.exists(path):
+            # stamped round file was removed — treat as empty, loudly
+            print(f"warning: stamped {path} missing", file=sys.stderr)
             continue
-        rnd = int(m.group(1))
         for name in json.load(open(path)):
             latest[name] = max(latest.get(name, 0), rnd)
     return latest
 
 
-def generate() -> tuple[list[str], dict[str, list[str]]]:
+def generate(
+    rounds: list[int] | None = None,
+) -> tuple[list[str], dict[str, list[str]]]:
     from osm_data_classification_spark.catalog import raw_catalog
 
     cat = raw_catalog()
-    graded = grade_history()
+    graded = grade_history(rounds)
     full = [n for n, s in cat.items() if s.sql is not None]
     order = {n: i for i, n in enumerate(cat)}  # catalog declaration order
 
@@ -112,8 +143,14 @@ def generate() -> tuple[list[str], dict[str, list[str]]]:
     return window, audit
 
 
-def render(window: list[str], audit: dict[str, list[str]]) -> str:
+def render(
+    window: list[str], audit: dict[str, list[str]], rounds: list[int]
+) -> str:
     lines = [BEGIN]
+    lines.append(
+        "    # generated-from-rounds: "
+        + (",".join(str(r) for r in rounds) if rounds else "none")
+    )
     lines.append("    # anchors (pinned, round-over-round continuity):")
     for n in window[: len(ANCHORS)]:
         lines.append(f'    "{n}",')
@@ -140,6 +177,19 @@ def current_priority() -> tuple[str, ...]:
     return PRIORITY
 
 
+def stamped_rounds() -> list[int]:
+    """Parse the generated block's snapshot stamp out of catalog.py."""
+    src = open(CATALOG_PY).read()
+    m = re.search(r"# generated-from-rounds: ([0-9,]+|none)", src)
+    assert m, (
+        "no '# generated-from-rounds:' stamp inside the generated block "
+        f"of {CATALOG_PY} — re-run --apply to stamp it"
+    )
+    if m.group(1) == "none":
+        return []
+    return [int(x) for x in m.group(1).split(",")]
+
+
 def apply(block: str) -> None:
     src = open(CATALOG_PY).read()
     pat = re.compile(
@@ -151,11 +201,20 @@ def apply(block: str) -> None:
 
 
 def main() -> None:
-    window, audit = generate()
-    block = render(window, audit)
+    if "--check" in sys.argv:
+        # Replay generation against the snapshot the committed block
+        # was derived from — NOT whatever grade files exist today.
+        rounds = stamped_rounds()
+    else:
+        rounds = available_rounds()
+    window, audit = generate(rounds)
+    block = render(window, audit, rounds)
     if "--apply" in sys.argv:
         apply(block)
-        print(f"applied {len(window)}-slot window to {CATALOG_PY}")
+        print(
+            f"applied {len(window)}-slot window to {CATALOG_PY} "
+            f"(snapshot: rounds {rounds})"
+        )
     elif "--check" in sys.argv:
         cur = current_priority()
         ok = tuple(window) == cur
@@ -169,7 +228,10 @@ def main() -> None:
                     print(f"  first divergence at slot {i}: {g!r} vs {c!r}")
                     break
             sys.exit(1)
-        print(f"OK: catalog.PRIORITY matches the generated {len(cur)}-slot window")
+        print(
+            f"OK: catalog.PRIORITY matches regeneration from its stamped "
+            f"snapshot (rounds {rounds})"
+        )
     else:
         print(block)
         print()

@@ -374,3 +374,37 @@ def test_stream_dedup_recrawl_equals_batch_aggregate(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_equals_batch_interval_join(spark, sf_dir):
+    """The stream-stream watermarked interval join entry must emit
+    exactly the batch interval join of the ORIGINAL fetch/robots
+    splits — every cross-micro-batch match found (state buffered long
+    enough), every injected late replay contributing zero pairs (late
+    input dropped / matching state evicted), nothing emitted twice."""
+    from osm_data_classification_spark.operators.relational import (
+        CATALOG as REL,
+    )
+
+    got = REL["stream_stream_join"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    f = ev.where(F.col("event_id") % 2 == 0).select(
+        "user_id",
+        F.col("event_id").alias("fetch_id"),
+        F.col("ts").alias("fts"),
+    )
+    r = ev.where(F.col("event_id") % 2 == 1).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("event_id").alias("robots_id"),
+        F.col("ts").alias("rts"),
+    )
+    want = f.join(
+        r,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("rts") >= F.col("fts") - F.expr("INTERVAL 2 DAYS"))
+        & (F.col("rts") <= F.col("fts")),
+    ).select("fetch_id", "robots_id")
+    got_pairs = {(x["fetch_id"], x["robots_id"]) for x in got.collect()}
+    want_pairs = {(x["fetch_id"], x["robots_id"]) for x in want.collect()}
+    assert got.count() == len(got_pairs), "a pair was emitted twice"
+    assert got_pairs == want_pairs

@@ -844,3 +844,208 @@ def embed_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rnk") == 1) & (F.coalesce("trnk", F.lit(0)) == 1)
         ).alias("top1_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# trained-codebook product quantization (integer-exact Lloyd)
+# ---------------------------------------------------------------------------
+
+_PQT_K = 16       # centroids per subspace
+_PQT_ITERS = 2    # Lloyd update rounds (unrolled in the oracle)
+_PQT_SCALE = 1_000_000  # float -> integer domain: floor(x * 1e6)
+
+
+def _pqt_sql() -> str:
+    """DuckDB twin of the integer-exact Lloyd training + ADC retrieval.
+
+    Every iteration is three MATERIALIZED CTEs (distances, argmin
+    assignment, floor-division centroid update) — MATERIALIZED because
+    each round references its predecessor more than once and inlining
+    re-plans the scan exponentially (the webgraph_hits_exact lesson,
+    components.py)."""
+    m, sub, k, t = _PQ_M, _PQ_SUB, _PQT_K, _PQT_ITERS
+    parts = [
+        f"""
+    WITH sub AS MATERIALIZED (
+        SELECT vec_id,
+               CAST((g.i - 1) // {sub} AS BIGINT) AS s,
+               CAST((g.i - 1) % {sub} AS BIGINT) AS d,
+               CAST(floor(CAST(embedding[g.i] AS DOUBLE) * {_PQT_SCALE})
+                    AS BIGINT) AS x
+        FROM embeddings, generate_series(1, {m * sub}) AS g(i)
+    ),
+    c0 AS MATERIALIZED (
+        SELECT s, vec_id AS j, d, x AS c FROM sub WHERE vec_id < {k}
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, t + 1):
+        parts.append(f"""
+    dist{it} AS MATERIALIZED (
+        SELECT v.vec_id, v.s, c.j,
+               SUM((v.x - c.c) * (v.x - c.c)) AS dsq
+        FROM sub v JOIN {prev} c ON c.s = v.s AND c.d = v.d
+        GROUP BY v.vec_id, v.s, c.j
+    ),
+    asg{it} AS MATERIALIZED (
+        SELECT vec_id, s, j FROM (
+            SELECT vec_id, s, j,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dsq ASC, j ASC) AS rn
+            FROM dist{it}
+        ) WHERE rn = 1
+    ),
+    upd{it} AS MATERIALIZED (
+        SELECT a.s, a.j, v.d,
+               CAST(floor(CAST(SUM(v.x) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS cnew
+        FROM asg{it} a JOIN sub v ON v.vec_id = a.vec_id AND v.s = a.s
+        GROUP BY a.s, a.j, v.d
+    ),
+    c{it} AS MATERIALIZED (
+        SELECT p.s, p.j, p.d, COALESCE(u.cnew, p.c) AS c
+        FROM {prev} p LEFT JOIN upd{it} u
+          ON u.s = p.s AND u.j = p.j AND u.d = p.d
+    )""")
+        prev = f"c{it}"
+    parts.append(f"""
+    cdist AS MATERIALIZED (
+        SELECT v.vec_id, v.s, c.j,
+               SUM((v.x - c.c) * (v.x - c.c)) AS dsq
+        FROM sub v JOIN {prev} c ON c.s = v.s AND c.d = v.d
+        GROUP BY v.vec_id, v.s, c.j
+    ),
+    codes AS MATERIALIZED (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT vec_id, s, j,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY dsq ASC, j ASC) AS rn
+            FROM cdist
+        ) WHERE rn = 1
+    ),
+    lut AS MATERIALIZED (
+        SELECT vec_id AS qid, s, j, dsq FROM cdist
+        WHERE vec_id < {N_QUERIES}
+    ),
+    adc AS (
+        SELECT l.qid, cd.vec_id AS cid,
+               CAST(SUM(l.dsq) AS BIGINT) AS adc_dist
+        FROM codes cd JOIN lut l ON l.s = cd.s AND l.j = cd.code
+        GROUP BY l.qid, cd.vec_id
+    )
+    SELECT qid, cid, adc_dist,
+           CAST(row_number() OVER (PARTITION BY qid
+                ORDER BY adc_dist ASC, cid ASC) AS BIGINT) AS rank
+    FROM adc
+    QUALIFY rank <= {TOP_K}""")
+    return ",".join(parts)
+
+
+def _pqt_subs(emb: DataFrame) -> DataFrame:
+    """(vec_id, s, d, x): integer-scaled subvector dims. float->double
+    cast is exact and *1e6/floor are identical IEEE ops in both
+    engines, so the integer domain is bit-identical cross-engine."""
+    return emb.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos") / _PQ_SUB).cast("long").alias("s"),
+        (F.col("pos") % _PQ_SUB).cast("long").alias("d"),
+        F.floor(F.col("xf").cast("double") * _PQT_SCALE)
+        .cast("long")
+        .alias("x"),
+    )
+
+
+def _pqt_dist(subs: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, s, j, dsq): exact integer squared L2 of every
+    subvector to every centroid of its subspace. The centroid table is
+    M*K*SUB = 1024 rows — broadcast by construction."""
+    diff = F.col("x") - F.col("c")
+    return (
+        subs.join(F.broadcast(cent), ["s", "d"])
+        .groupBy("vec_id", "s", "j")
+        .agg(F.sum(diff * diff).alias("dsq"))
+    )
+
+
+def _pqt_argmin(dist: DataFrame) -> DataFrame:
+    w = Window.partitionBy("vec_id", "s").orderBy(F.asc("dsq"), F.asc("j"))
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "s", "j")
+    )
+
+
+def pq_train_codebook(subs: DataFrame, iters: int = _PQT_ITERS) -> DataFrame:
+    """Integer-exact Lloyd per subspace: init = subvectors of vec_id
+    0..K-1; assignment = exact integer argmin (ties to lower j);
+    update = element-wise floor(sum/count) (exact — |sum| < 2^53 so
+    the double division of an integer pair floors identically in any
+    engine); empty clusters keep their previous centroid. Returns the
+    trained (s, j, d, c) table."""
+    cent = subs.filter(F.col("vec_id") < _PQT_K).select(
+        "s", F.col("vec_id").alias("j"), "d", F.col("x").alias("c")
+    )
+    for _ in range(iters):
+        asg = _pqt_argmin(_pqt_dist(subs, cent))
+        upd = (
+            asg.join(subs, ["vec_id", "s"])
+            .groupBy("s", "j", "d")
+            .agg(
+                F.floor(F.sum("x").cast("double") / F.count(F.lit(1)))
+                .cast("long")
+                .alias("cnew")
+            )
+        )
+        cent = (
+            cent.join(F.broadcast(upd), ["s", "j", "d"], "left")
+            .select(
+                "s", "j", "d", F.coalesce("cnew", "c").alias("c")
+            )
+        )
+    return cent
+
+
+@_register("ann_pq_trained", _pqt_sql())
+def ann_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-codebook PQ top-k (r4 VERDICT #6): ann_pq_topk's
+    data-defined codebook sidesteps k-means nondeterminism, but a real
+    pipeline TRAINS the codebook — here per-subspace Lloyd runs
+    entirely in an integer domain (floor(x*1e6), exact squared-L2,
+    floor-division centroid updates, ties to the lower centroid id),
+    so training itself is bit-identical cross-engine and the WHOLE
+    train → encode → ADC-retrieve pipeline is a FULL value oracle
+    (DuckDB unrolls the two Lloyd rounds as MATERIALIZED CTEs).
+
+    Scale shape per iteration: assignment joins the dim stream to the
+    BROADCAST 1024-row centroid table (one shuffle-free scan + a
+    groupBy whose key count is |vecs|*M); the update is one groupBy
+    producing M*K*SUB rows. At 10^12 vectors the real pipeline trains
+    on a hash-sampled slice (sample_hash_split) and encodes the full
+    corpus with the final broadcast codebook — the encode/ADC stages
+    here are exactly ann_pq_topk's memory-resident layout (8-byte
+    codes streaming against a broadcast probe LUT). Numpy parity:
+    tests/test_ml.py::test_pq_trained_codebook_matches_numpy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    subs = _pqt_subs(emb)
+    cent = pq_train_codebook(subs)
+    cdist = _pqt_dist(subs, cent)
+    codes = _pqt_argmin(cdist).withColumnRenamed("j", "code")
+    lut = cdist.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), "s", F.col("j").alias("code"), "dsq"
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("qid", F.col("vec_id").alias("cid"))
+        .agg(F.sum("dsq").cast("long").alias("adc_dist"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("cid"))
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "qid", "cid", "adc_dist", F.col("rank").cast("long").alias("rank")
+        )
+    )

@@ -82,7 +82,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     cat = full_catalog()
 
+    from osm_data_classification_spark.plans.audit import plan_fingerprint
+
     timings: dict[str, float] = {}
+    fingerprints: dict[str, str] = {}
     probes: list[float] = [noise_probe()]
 
     # --- flagship: spatial-join + tiling (the BASELINE.json metric) ------
@@ -111,6 +114,13 @@ def main() -> None:
 
     n_pages = synth_pages(spark, SF_DIR, multiplier=MULTIPLIER).count()
     timings["flagship_spatial_tiling"] = round(flagship_s, 3)
+    _ffp = [
+        plan_fingerprint(flagship(spark, SF_DIR, multiplier=MULTIPLIER))
+        for _ in range(2)
+    ]
+    fingerprints["flagship_spatial_tiling"] = (
+        _ffp[0] if _ffp[0] == _ffp[1] else "unstable"
+    )
 
     warm_dir = SF_DIR.replace("sf0.1", "sf0.01")
     for name in HEADLINE:
@@ -133,6 +143,16 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
+        # fingerprint of the optimized logical plan (r4 VERDICT #4):
+        # "code unchanged => plan unchanged" becomes a mechanical
+        # round-over-round diff instead of an ad-hoc noise argument.
+        # Built twice: a handful of Catalyst rewrites are internally
+        # nondeterministic (RewriteDistinctAggregates permutes gid
+        # labels per construction) — those are recorded as "unstable"
+        # rather than producing false round-over-round diffs.
+        fp1 = plan_fingerprint(spec.fn(spark, SF_DIR))
+        fp2 = plan_fingerprint(spec.fn(spark, SF_DIR))
+        fingerprints[name] = fp1 if fp1 == fp2 else "unstable"
         probes.append(noise_probe())
 
     # --- L4 parallelism invariance as a per-round artifact (r3 VERDICT
@@ -156,6 +176,27 @@ def main() -> None:
         "local8_checksum": sum8,
         "identical": sum32 == sum8,
     }
+
+    # round-over-round fingerprint diff vs the newest recorded BENCH_r*
+    # that carries fingerprints (older rounds predate the field)
+    import glob
+
+    fp_diff: dict[str, object] = {"baseline": None, "changed": []}
+    for prior in sorted(glob.glob("BENCH_r*.json"), reverse=True):
+        try:
+            prev = json.load(open(prior)).get("plan_fingerprints")
+        except (OSError, json.JSONDecodeError):
+            continue
+        if prev:
+            fp_diff["baseline"] = prior
+            fp_diff["changed"] = sorted(
+                q
+                for q in fingerprints
+                if q in prev
+                and "unstable" not in (prev[q], fingerprints[q])
+                and prev[q] != fingerprints[q]
+            )
+            break
 
     total = round(sum(timings.values()), 3)
     probes_r = [round(p, 4) for p in probes]
@@ -184,6 +225,8 @@ def main() -> None:
                 "runs_per_query": 3,
                 "flagship_runs": 5,
                 "invariance": invariance,
+                "plan_fingerprints": fingerprints,
+                "plan_fingerprint_diff": fp_diff,
             }
         )
     )

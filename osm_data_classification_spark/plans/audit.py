@@ -90,3 +90,42 @@ def codegen_stage_count(df: DataFrame, execute: bool = True) -> int:
 def has_python_stage(df: DataFrame) -> bool:
     plan = formatted_plan(df)
     return bool(re.search(r"ArrowEvalPython|BatchEvalPython|MapInPandas|FlatMapGroupsInPandas", plan))
+
+
+_FP_NORMALIZERS = (
+    # expression ids are assigned per-session: col#12345L -> col#
+    (re.compile(r"#\d+"), "#"),
+    # higher-order-function lambda variables carry a session-global
+    # counter: lambda x_4 / lambda x_10 are the same variable
+    (re.compile(r"\blambda ([A-Za-z]+)_\d+"), r"lambda \1_"),
+    # per-run temp/scratch and data paths
+    (re.compile(r"file:/[^\s,\]\)]*"), "<path>"),
+    (re.compile(r"/(?:tmp|root)/[^\s,\]\)]*"), "<path>"),
+    # cached-plan ids and statistics vary with the run
+    (re.compile(r"plan_id=\d+"), "plan_id="),
+    (re.compile(r"Statistics\([^)]*\)"), "Statistics()"),
+    # InMemoryFileIndex prints the path count it indexed
+    (re.compile(r"InMemoryFileIndex\(\d+ paths\)"), "InMemoryFileIndex()"),
+)
+
+
+def canonical_plan(df: DataFrame) -> str:
+    """The OPTIMIZED logical plan with run-dependent tokens (expr ids,
+    paths, plan ids) normalized away — equal strings <=> Catalyst chose
+    the same plan. The logical plan (not the executed one) is used so
+    the fingerprint is stable across AQE's runtime re-planning and
+    doesn't require executing the query."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    for pat, repl in _FP_NORMALIZERS:
+        plan = pat.sub(repl, plan)
+    return plan
+
+
+def plan_fingerprint(df: DataFrame) -> str:
+    """16-hex-digit digest of canonical_plan — the per-round artifact
+    (r4 VERDICT #4): BENCH_r{N}.json carries one per headline query, so
+    'code unchanged => plan unchanged' is a mechanical diff instead of
+    an ad-hoc argument whenever bench wall times move."""
+    import hashlib
+
+    return hashlib.sha256(canonical_plan(df).encode()).hexdigest()[:16]

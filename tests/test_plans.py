@@ -357,3 +357,20 @@ def test_triangle_count_no_cartesian(spark, sf_dir):
     nodes = " ".join(audit.plan_nodes(df))
     assert "CartesianProduct" not in nodes, nodes
     assert "BroadcastNestedLoopJoin" not in nodes, nodes
+
+
+def test_plan_fingerprint_stable_and_discriminating(spark, sf_dir):
+    """plan_fingerprint (r4 VERDICT #4) must be (a) invariant across
+    re-constructions of the same query — expr ids, paths, and plan ids
+    are assigned per-session and must normalize away — and (b) actually
+    sensitive to a real plan change (different query => different
+    digest)."""
+    from osm_data_classification_spark.catalog import full_catalog
+    from osm_data_classification_spark.plans.audit import plan_fingerprint
+
+    cat = full_catalog()
+    a1 = plan_fingerprint(cat["star_join_3way"].fn(spark, sf_dir))
+    a2 = plan_fingerprint(cat["star_join_3way"].fn(spark, sf_dir))
+    assert a1 == a2, "fingerprint not stable across constructions"
+    b = plan_fingerprint(cat["sql_tpch_q5"].fn(spark, sf_dir))
+    assert a1 != b, "fingerprint failed to discriminate distinct plans"

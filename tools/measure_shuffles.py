@@ -87,8 +87,18 @@ def main() -> None:
     print("| query | result_rows | shuffle_write | shuffle_read | new_stages |")
     print("|---|---|---|---|---|")
     for name in QUERIES:
-        spec = cat.get(name)
-        if spec is None:
+        # "flagship:<multiplier>" measures the end-to-end spatial-join
+        # + tiling trace (jobs_api.flagship) — not a catalog entry.
+        # Two multipliers a decade apart evidence shuffle LINEARITY in
+        # the stated carrier (r4 VERDICT #5).
+        if name.startswith("flagship"):
+            from osm_data_classification_spark.jobs_api import flagship
+
+            mult = int(name.split(":", 1)[1]) if ":" in name else 1000
+            fn = lambda s, d, _m=mult: flagship(s, d, multiplier=_m)  # noqa: E731
+        elif name in cat:
+            fn = cat[name].fn
+        else:
             print(f"| {name} | MISSING | | | |")
             continue
         spark.catalog.clearCache()
@@ -97,7 +107,7 @@ def main() -> None:
         # via localCheckpoint — measuring only the final action would
         # read 0 B for them
         before = stage_stats(api)
-        df = spec.fn(spark, SF_DIR)
+        df = fn(spark, SF_DIR)
         # noop sink, NOT count(): under count() Catalyst prunes every
         # column out of the exchanges (a 5k-row shuffle measured 59 B)
         # — the noop write materializes full rows, so the bytes are

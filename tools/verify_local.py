@@ -20,7 +20,13 @@ This harness therefore round-trips through the same pandas path:
 
 Usage::
 
-    python tools/verify_local.py [sf_dir] [name ...]
+    python tools/verify_local.py [--json OUT.json] [sf_dir] [name ...]
+
+``--json`` writes the per-query record in the driver's
+CORRECTNESS_r{N}.json shape (rows/schema/hash match + row counts) —
+the committed end-of-round artifact (r4 VERDICT #8: the full-catalog
+sweep used to live only as a notes claim; ``SWEEP_r{N}.json`` lets
+the judge diff it instead of re-running the oracles by hand).
 """
 
 from __future__ import annotations
@@ -31,8 +37,15 @@ import traceback
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = sys.argv[1:]
+JSON_OUT = None
+if "--json" in _args:
+    i = _args.index("--json")
+    JSON_OUT = _args[i + 1]
+    _args = _args[:i] + _args[i + 2:]
+
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -118,6 +131,20 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     n_pass = n_fail = n_rowsonly = 0
+    records: dict[str, dict] = {}
+
+    def record(name, **kw):
+        base = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        base.update(kw)
+        records[name] = base
+
     for name, fn in qs.items():
         if ONLY and name not in ONLY:
             continue
@@ -127,6 +154,7 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: spark error")
             traceback.print_exc()
+            record(name, err="spark error: " + traceback.format_exc(limit=1))
             n_fail += 1
             continue
         if name not in oracles:
@@ -136,9 +164,11 @@ def main() -> int:
                 canon_lines(spdf)
             except Exception as e:
                 print(f"FAIL  {name}: rows-only spark canon error: {e!r}")
+                record(name, spark_rows=len(spdf), err=f"rows-only canon: {e!r}")
                 n_fail += 1
                 continue
             print(f"ROWS  {name}: {len(spdf)} rows (rows-only)")
+            record(name, spark_rows=len(spdf), rows_only=True)
             n_rowsonly += 1
             continue
         try:
@@ -146,6 +176,8 @@ def main() -> int:
         except Exception:
             print(f"FAIL  {name}: duckdb error")
             traceback.print_exc()
+            record(name, spark_rows=len(spdf),
+                   err="duckdb error: " + traceback.format_exc(limit=1))
             n_fail += 1
             continue
         problems = []
@@ -174,6 +206,18 @@ def main() -> int:
                         print(f"      spark: {a[:220]}")
                         print(f"      duck : {b[:220]}")
                         break
+        schema_ok = sorted(spdf.columns) == sorted(dpdf.columns)
+        rows_ok = len(spdf) == len(dpdf)
+        hash_ok = schema_ok and rows_ok and not problems
+        record(
+            name,
+            rows_match=rows_ok,
+            schema_match=schema_ok,
+            hash_match=hash_ok,
+            spark_rows=len(spdf),
+            oracle_rows=len(dpdf),
+            err="; ".join(problems) or None,
+        )
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
@@ -181,6 +225,22 @@ def main() -> int:
             print(f"PASS  {name}: {len(spdf)} rows")
             n_pass += 1
     print(f"\n{n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail")
+    if JSON_OUT:
+        import json as _json
+
+        with open(JSON_OUT, "w") as f:
+            _json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "n_pass": n_pass,
+                    "n_rows_only": n_rowsonly,
+                    "n_fail": n_fail,
+                    "results": records,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {JSON_OUT}")
     return 1 if n_fail else 0
 
 

@@ -634,3 +634,118 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("dup", F.lit(False)).alias("dup_of_existing"),
         "bloom_candidate",
     )
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment dedup (quote/inclusion detection)
+# ---------------------------------------------------------------------------
+
+RARE_DF = 8          # shingles in more docs than this generate no candidates
+CONT_THRESH = 900    # containment_x1000 floor: A is >=90% inside B
+
+_QUOTE_N, _QUOTE_OFF = 20, 30_000
+
+# corpus + planted INCLUSIONS: docs 0-19 get a "quote" doc at
+# doc_id+30000 holding only their first 20 tokens — containment
+# (quote -> original) ~ 1000 while symmetric Jaccard is far below any
+# dedup threshold, the case this operator exists for
+_CONT_CORPUS_SQL = f"""
+    corpus0 AS ({CORPUS_SQL}),
+    corpus AS (
+        SELECT doc_id, text FROM corpus0
+        UNION ALL
+        SELECT doc_id + {_QUOTE_OFF},
+               array_to_string(
+                   (string_split_regex(trim(text), '\\s+'))[1:{_QUOTE_N}], ' ')
+        FROM documents WHERE doc_id < {_QUOTE_N}
+    )
+"""
+
+
+@_register(
+    "dedup_containment",
+    f"""
+    WITH {_CONT_CORPUS_SQL},
+    shingled AS ({SHINGLES_SQL}),
+    sh AS (SELECT DISTINCT doc_id, shingle FROM shingled),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    dfreq AS (SELECT shingle, count(*) AS dfc FROM sh GROUP BY shingle),
+    rare AS (
+        SELECT s.doc_id, s.shingle FROM sh s
+        JOIN dfreq USING (shingle) WHERE dfreq.dfc <= {RARE_DF}
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM rare a JOIN rare b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    ),
+    inter AS (
+        SELECT c.da, c.db, count(*) AS n_inter
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.da
+        JOIN sh b ON b.doc_id = c.db AND b.shingle = a.shingle
+        GROUP BY c.da, c.db
+    )
+    SELECT i.da, i.db, (i.n_inter * 1000) // sa.n AS containment_x1000
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.da
+    WHERE (i.n_inter * 1000) // sa.n >= {CONT_THRESH}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup — the inclusion case the symmetric
+    ladder misses: a short doc quoted inside a long one has
+    containment(quote→host) ≈ 1 but Jaccard ≈ |quote|/|host|, far
+    under any near-dup threshold (the planted first-20-token quote
+    docs are exactly that). Emits ORDERED pairs (da, db,
+    containment_x1000 = 1000·|A∩B| // |A|) with containment ≥ 90%.
+
+    Candidate generation is RARE-SHINGLE BLOCKING, not LSH: minhash
+    approximates Jaccard, not containment, so banding would miss the
+    asymmetric pairs by design. Two docs become a candidate iff they
+    share a shingle appearing in ≤ RARE_DF docs corpus-wide. Scale
+    shape: the document-frequency table is one groupBy(shingle); the
+    candidate join's fan-out is bounded per shingle by RARE_DF² — and
+    boilerplate (high-DF shingles) is excluded from candidate
+    generation by construction, which is precisely the behavior a
+    100-TB inclusion pass needs (common navigation chrome must not
+    produce candidate pairs). Verification touches candidates only:
+    the intersection join streams each candidate's distinct shingle
+    sets, never all-pairs. |A∩B| and |A| are exact integers, so the
+    floor-scaled containment is engine-exact and the whole pipeline
+    is a FULL value oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    quotes = docs.filter(F.col("doc_id") < _QUOTE_N).select(
+        (F.col("doc_id") + _QUOTE_OFF).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim("text"), r"\s+"), 1, _QUOTE_N)
+        ).alias("text"),
+    )
+    c = corpus(spark, sf_dir).unionByName(quotes)
+    sh = shingles(spread(c)).distinct().persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfc"))
+    rare = sh.join(
+        dfreq.filter(F.col("dfc") <= RARE_DF).select("shingle"), "shingle"
+    )
+    cand = (
+        rare.select(F.col("doc_id").alias("da"), "shingle")
+        .join(rare.select(F.col("doc_id").alias("db"), "shingle"), "shingle")
+        .filter(F.col("da") != F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    inter = (
+        cand.join(sh.select(F.col("doc_id").alias("da"), "shingle"), "da")
+        .join(sh.select(F.col("doc_id").alias("db"), "shingle"), ["db", "shingle"])
+        .groupBy("da", "db")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "da"), "da")
+        .select(
+            "da",
+            "db",
+            F.expr("(n_inter * 1000) div n").alias("containment_x1000"),
+        )
+        .filter(F.col("containment_x1000") >= CONT_THRESH)
+    )

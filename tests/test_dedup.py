@@ -298,3 +298,45 @@ def test_pq_codebook_identity_and_ladder(spark, sf_dir):
         )
         for r in best:
             assert r["j"] == r["vec_id"] - _PQ_ANCHOR0, (s, r)
+
+
+def test_containment_catches_inclusions_jaccard_misses(spark, sf_dir):
+    """The planted quote docs (first 20 tokens of docs 0..19, id+30000)
+    must surface as quote->host containment pairs — and for hosts
+    meaningfully longer than the quote, their symmetric Jaccard sits
+    far below JACCARD_THRESH, proving the asymmetric operator adds
+    coverage the symmetric ladder cannot."""
+    from osm_data_classification_spark.operators.dedup import (
+        _QUOTE_OFF,
+        CATALOG as DEDUP,
+        JACCARD_THRESH,
+    )
+
+    got = DEDUP["dedup_containment"].fn(spark, sf_dir).collect()
+    quote_pairs = [
+        r for r in got if r["da"] >= _QUOTE_OFF and r["db"] < 10_000
+    ]
+    assert quote_pairs, "no quote->original containment pair found"
+    assert all(r["containment_x1000"] >= 900 for r in got)
+    # the same quote->host pairs under symmetric Jaccard: docs ~150
+    # tokens long vs 20-token quotes -> J ~ 20/150 << threshold
+    from osm_data_classification_spark.io import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        )
+        .filter(F.col("doc_id") < 20)
+        .collect()
+    }
+    long_hosts = [
+        r for r in quote_pairs if n_tok.get(r["db"], 0) >= 60
+    ]
+    assert long_hosts, "corpus has no long host to demonstrate the gap"
+    for r in long_hosts:
+        # |A| ~ 18 shingles, |B| ~ n_tok-2; J <= |A|/|B| scaled
+        j_upper = 1000 * 18 // (n_tok[r["db"]] - 2)
+        assert j_upper < JACCARD_THRESH

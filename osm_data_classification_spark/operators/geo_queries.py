@@ -1663,3 +1663,104 @@ def geo_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         gh4.alias("gh4"),
         (F.substring(gh8, 1, 4) == gh4).alias("prefix_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# raster kernel smoothing (3x3 integer convolution over the tile grid)
+# ---------------------------------------------------------------------------
+
+_SM_RES = 7
+_SM_N = 1 << _SM_RES
+
+
+def _smooth_sql() -> str:
+    kernel = (
+        "CASE WHEN dx.v = 0 AND dy.v = 0 THEN 4 "
+        "WHEN dx.v = 0 OR dy.v = 0 THEN 2 ELSE 1 END"
+    )
+    return f"""
+    WITH {PAGES_SQL},
+    base AS (
+        SELECT {X_SQL('lon', _SM_RES)} AS x, {Y_SQL('lat', _SM_RES)} AS y,
+               count(*) AS n
+        FROM pages GROUP BY 1, 2
+    ),
+    contrib AS (
+        SELECT ((b.x + dx.v) % {_SM_N} + {_SM_N}) % {_SM_N} AS nx,
+               b.y + dy.v AS ny,
+               {kernel} * b.n AS w,
+               CASE WHEN dx.v = 0 AND dy.v = 0 THEN b.n ELSE 0 END AS direct
+        FROM base b,
+             generate_series(-1, 1) AS dx(v),
+             generate_series(-1, 1) AS dy(v)
+    )
+    SELECT ({_SM_RES << RES_BITS_SHIFT} | {SPREAD('nx')}
+                | ({SPREAD('ny')} << 1)) AS cell,
+           CAST(sum(w) AS BIGINT) AS smooth_weight,
+           CAST(sum(direct) AS BIGINT) AS n_direct
+    FROM contrib
+    WHERE ny >= 0 AND ny < {_SM_N}
+    GROUP BY 1
+    """
+
+
+@_register("geo_tile_smooth", _smooth_sql())
+def geo_tile_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster kernel convolution on the tile grid — the raster half of
+    the raster↔vector surface: each res-7 cell's edit count is
+    smoothed with an integer 3×3 kernel (center 4, edge 2, corner 1),
+    x wrapping at the anti-meridian and y clamped at the poles (the
+    k-ring rules). Emits one row per cell RECEIVING weight — empty
+    cells bordering activity appear with n_direct=0 (dilation), which
+    is what makes the result a raster, not a sparse re-keying.
+
+    Scale shape: the convolution runs on the AGGREGATED raster (one
+    row per non-empty cell), never on pages — base is one
+    partial-combined groupBy of the page stream; the kernel explode
+    fans the raster ×9 and the second groupBy re-combines map-side, so
+    the exchange carries O(non-empty cells), independent of page
+    count. Integer weights keep both engines exact. FULL oracle:
+    DuckDB re-synthesizes pages and convolves the same raster."""
+    from ..geo.cells import cell_from_xy_col, xy_cols
+
+    pages = geocoded_pages(spark, sf_dir, res=_SM_RES)
+    x, y = xy_cols(F.col("lon"), F.col("lat"), _SM_RES)
+    base = (
+        pages.select(x.alias("x"), y.alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    offs = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(dx).alias("dx"),
+                F.lit(dy).alias("dy"),
+                F.lit(
+                    4 if dx == 0 and dy == 0 else (2 if dx == 0 or dy == 0 else 1)
+                ).alias("kw"),
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ])
+    )
+    contrib = base.select("x", "y", "n", offs.alias("o")).select(
+        F.pmod(F.col("x") + F.col("o.dx"), F.lit(_SM_N)).alias("nx"),
+        (F.col("y") + F.col("o.dy")).alias("ny"),
+        (F.col("o.kw") * F.col("n")).alias("w"),
+        F.when((F.col("o.dx") == 0) & (F.col("o.dy") == 0), F.col("n"))
+        .otherwise(F.lit(0))
+        .alias("direct"),
+    )
+    out = (
+        contrib.filter((F.col("ny") >= 0) & (F.col("ny") < _SM_N))
+        .groupBy("nx", "ny")
+        .agg(
+            F.sum("w").cast("long").alias("smooth_weight"),
+            F.sum("direct").cast("long").alias("n_direct"),
+        )
+    )
+    return out.select(
+        cell_from_xy_col(F.col("nx"), F.col("ny"), _SM_RES).alias("cell"),
+        "smooth_weight",
+        "n_direct",
+    )

@@ -331,3 +331,27 @@ def test_polyfill_is_center_in_and_concave(spark, sf_dir):
     got_cells = {int(r["cell"]) for r in rows}
     for cid, ins in zip(cell_ids.tolist(), inside.tolist()):
         assert (cid in got_cells) == bool(ins)
+
+
+def test_tile_smooth_conserves_direct_mass(spark, sf_dir):
+    """3x3 smoothing invariants: the direct channel conserves total
+    page mass exactly (sum n_direct == pages), and every cell's
+    smoothed weight is at least 4x its direct count (its own center
+    contribution) — a kernel-arithmetic regression breaks one or
+    both."""
+    from pyspark.sql import functions as F
+
+    from osm_data_classification_spark.operators.geo_queries import (
+        CATALOG as GEO,
+    )
+    from osm_data_classification_spark.sources.pages import geocoded_pages
+
+    out = GEO["geo_tile_smooth"].fn(spark, sf_dir)
+    n_pages = geocoded_pages(spark, sf_dir, res=7).count()
+    agg = out.agg(
+        F.sum("n_direct").alias("direct"),
+        F.min(F.col("smooth_weight") - 4 * F.col("n_direct")).alias("slack"),
+    ).first()
+    assert agg["direct"] == n_pages
+    assert agg["slack"] >= 0
+    assert out.filter(F.col("n_direct") == 0).count() > 0, "no dilation ring"

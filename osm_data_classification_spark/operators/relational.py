@@ -1563,6 +1563,179 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(sink_parent, ignore_errors=True)
 
 
+@register(
+    "stream_stream_left_join",
+    """
+    WITH f AS (
+        SELECT user_id, event_id AS fetch_id, ts AS fts
+        FROM events WHERE event_id % 2 = 0
+    ),
+    r AS (
+        SELECT user_id AS r_user_id, event_id AS robots_id, ts AS rts
+        FROM events WHERE event_id % 2 = 1
+    ),
+    wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS cut FROM events),
+    m AS (
+        SELECT f.user_id, f.fetch_id, r.robots_id, f.fts, r.rts
+        FROM f JOIN r
+          ON r.r_user_id = f.user_id
+         AND r.rts BETWEEN f.fts - INTERVAL 2 DAY AND f.fts
+    ),
+    unm AS (
+        SELECT f.user_id, f.fetch_id, CAST(NULL AS BIGINT) AS robots_id,
+               f.fts, CAST(NULL AS TIMESTAMP) AS rts
+        FROM f
+        WHERE NOT EXISTS (
+            SELECT 1 FROM r
+            WHERE r.r_user_id = f.user_id
+              AND r.rts BETWEEN f.fts - INTERVAL 2 DAY AND f.fts
+        )
+          AND f.fts < (SELECT cut FROM wm)
+    )
+    SELECT user_id, fetch_id, robots_id,
+           strftime(fts, '{fmt}') AS fetch_ts,
+           strftime(rts, '{fmt}') AS robots_ts
+    FROM m
+    UNION ALL
+    SELECT user_id, fetch_id, robots_id,
+           strftime(fts, '{fmt}') AS fetch_ts,
+           strftime(rts, '{fmt}') AS robots_ts
+    FROM unm
+    """.format(fmt=TS_FMT_DUCK),
+)
+def stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 stream-stream LEFT OUTER watermarked interval join — the
+    outer-emission semantic the inner entry (stream_stream_join)
+    cannot exercise: a fetch with no governing robots revision must be
+    emitted WITH NULLS, but only once the watermark proves no matching
+    robots row can still arrive (robots_ts ≤ fetch_ts in the join
+    condition ⇒ the left row's state expires when the watermark passes
+    fetch_ts). Same two streams and 3-file mtime-pinned arrival as the
+    inner entry, no late replays — this entry isolates outer-null
+    timing.
+
+    availableNow's trailing flush batches (the
+    stream_watermark_late_drop lesson) run the final watermark to
+    global max_ts − 1h, so the sink holds: every matched pair (outer
+    joins emit matches as found, watermark-independent) PLUS one
+    null-extended row per unmatched fetch with fetch_ts < final
+    watermark. Unmatched fetches NEWER than the watermark must stay
+    open in state and emit nothing — an engine that flushes open state
+    on shutdown over-emits and fails on row count; one that expires
+    left rows early (e.g. at watermark − join window) emits nulls for
+    fetches that later batches DO match, double-counting those fetch
+    ids. FULL oracle: batch interval join + the watermark-closed
+    unmatched predicate.
+
+    Scale shape: identical to the inner entry — per-side state bounded
+    by arrival rate × the 2-day horizon, hash-partitioned on the host
+    key; the outer rows add no state, only an emit-on-expiry path."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.errors import AnalysisException
+
+    from ..streaming.pipeline import EVENTS_SCHEMA
+
+    ev = load_table(spark, sf_dir, "events")
+    t1 = F.lit(_WM_T1).cast("timestamp")
+    t2 = F.lit(_WM_T2).cast("timestamp")
+    fetches = ev.where(F.col("event_id") % 2 == 0)
+    robots = ev.where(F.col("event_id") % 2 == 1)
+    sides = {
+        "fetch": [
+            fetches.where(F.col("ts") < t1),
+            fetches.where((F.col("ts") >= t1) & (F.col("ts") < t2)),
+            fetches.where(F.col("ts") >= t2),
+        ],
+        "robots": [
+            robots.where(F.col("ts") < t1),
+            robots.where((F.col("ts") >= t1) & (F.col("ts") < t2)),
+            robots.where(F.col("ts") >= t2),
+        ],
+    }
+    srcs = {k: tempfile.mkdtemp(prefix=f"cat_sslj_{k}_") for k in sides}
+    ckpt = tempfile.mkdtemp(prefix="cat_sslj_ckpt_")
+    sink_parent = tempfile.mkdtemp(prefix="cat_sslj_sink_")
+    sink = sink_parent + "/out"
+    try:
+        for k, batches in sides.items():
+            for i, batch in enumerate(batches):
+                stage = os.path.join(srcs[k], f"_stage{i}")
+                batch.coalesce(1).write.mode("overwrite").parquet(stage)
+                part = next(
+                    (f for f in os.listdir(stage) if f.endswith(".parquet")),
+                    None,
+                )
+                if part is None:
+                    shutil.rmtree(stage)
+                    continue
+                dst = os.path.join(srcs[k], f"batch{i}.parquet")
+                shutil.move(os.path.join(stage, part), dst)
+                shutil.rmtree(stage)
+                os.utime(
+                    dst, (1_700_000_000 + 100 * i, 1_700_000_000 + 100 * i)
+                )
+
+        def side_stream(key, prefix):
+            s = (
+                spark.readStream.schema(EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(srcs[key])
+            )
+            return s.select(
+                F.col("user_id"),
+                F.col("event_id").alias(f"{prefix}_id"),
+                F.col("ts").alias(f"{prefix}_ts"),
+            ).withWatermark(f"{prefix}_ts", "1 hour")
+
+        f_s = side_stream("fetch", "fetch")
+        r_s = side_stream("robots", "robots").withColumnRenamed(
+            "user_id", "r_user_id"
+        )
+        joined = f_s.join(
+            r_s,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (
+                F.col("robots_ts")
+                >= F.col("fetch_ts") - F.expr("INTERVAL 2 DAYS")
+            )
+            & (F.col("robots_ts") <= F.col("fetch_ts")),
+            "leftOuter",
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        try:
+            emitted = spark.read.parquet(sink)
+        except AnalysisException:
+            emitted = spark.createDataFrame(
+                [],
+                "user_id long, fetch_id long, fetch_ts timestamp,"
+                " r_user_id long, robots_id long, robots_ts timestamp",
+            )
+        out = emitted.select(
+            "user_id",
+            "fetch_id",
+            "robots_id",
+            ts_str(F.col("fetch_ts")).alias("fetch_ts"),
+            ts_str(F.col("robots_ts")).alias("robots_ts"),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        for d in srcs.values():
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink_parent, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------------
 # table profiling (ANALYZE-style column statistics)
 # ---------------------------------------------------------------------------

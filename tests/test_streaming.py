@@ -408,3 +408,47 @@ def test_stream_stream_join_equals_batch_interval_join(spark, sf_dir):
     want_pairs = {(x["fetch_id"], x["robots_id"]) for x in want.collect()}
     assert got.count() == len(got_pairs), "a pair was emitted twice"
     assert got_pairs == want_pairs
+
+
+def test_stream_stream_left_join_null_timing(spark, sf_dir):
+    """Left-outer stream-stream join: matched pairs equal the batch
+    interval join; null-extended rows appear for EXACTLY the unmatched
+    fetches older than the final watermark (max ts - 1h) — open
+    fetches newer than it must not be flushed on shutdown; no fetch id
+    may appear both matched and null-extended."""
+    from osm_data_classification_spark.operators.relational import (
+        CATALOG as REL,
+    )
+
+    got = REL["stream_stream_left_join"].fn(spark, sf_dir).collect()
+    matched = [(r["fetch_id"], r["robots_id"]) for r in got if r["robots_id"] is not None]
+    nulls = {r["fetch_id"] for r in got if r["robots_id"] is None}
+    assert nulls, "no watermark-closed unmatched fetch emitted"
+    assert not nulls & {f for f, _ in matched}, (
+        "a fetch emitted both matched and null-extended — left state "
+        "expired before its match arrived"
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    wm = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 1 HOUR")).alias("cut")
+    ).first()["cut"]
+    f = ev.where(F.col("event_id") % 2 == 0).select(
+        F.col("event_id").alias("fetch_id"), F.col("user_id"), F.col("ts")
+    )
+    r = ev.where(F.col("event_id") % 2 == 1).select(
+        F.col("user_id").alias("ru"), F.col("ts").alias("rts")
+    )
+    want_null = {
+        x["fetch_id"]
+        for x in f.join(
+            r,
+            (F.col("user_id") == F.col("ru"))
+            & (F.col("rts") >= F.col("ts") - F.expr("INTERVAL 2 DAYS"))
+            & (F.col("rts") <= F.col("ts")),
+            "left_anti",
+        )
+        .filter(F.col("ts") < F.lit(wm))
+        .collect()
+    }
+    assert nulls == want_null

@@ -749,3 +749,99 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("containment_x1000") >= CONT_THRESH)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact-substring span dedup (duplicated token-span detection)
+# ---------------------------------------------------------------------------
+
+SPAN_TOKENS = 10  # duplicated-span unit: 10 consecutive tokens
+
+
+@_register(
+    "dedup_exact_substring_spans",
+    f"""
+    WITH corpus AS ({CORPUS_SQL}),
+    grams AS (
+        SELECT doc_id, unnest(
+            list_transform(
+                generate_series(1, greatest(0,
+                    length(string_split_regex(trim(text), '\\s+'))
+                        - {SPAN_TOKENS - 1})),
+                i -> md5(array_to_string(
+                         (string_split_regex(trim(text), '\\s+'))
+                             [i:i+{SPAN_TOKENS - 1}],
+                         ' '))
+            )) AS fp
+        FROM corpus
+    ),
+    dupfp AS (SELECT fp FROM grams GROUP BY fp HAVING count(*) > 1),
+    per_doc AS (
+        SELECT g.doc_id,
+               count(*) AS n_spans,
+               sum(CASE WHEN d.fp IS NOT NULL THEN 1 ELSE 0 END)
+                   AS n_dup_spans
+        FROM grams g LEFT JOIN dupfp d ON d.fp = g.fp
+        GROUP BY g.doc_id
+    )
+    SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_dup_spans AS BIGINT) AS n_dup_spans,
+           CAST((n_dup_spans * 1000) // n_spans AS BIGINT) AS dup_frac_x1000
+    FROM per_doc WHERE n_dup_spans > 0
+    """,
+)
+def dedup_exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING span dedup — the "deduplicating training data"
+    signal (duplicated verbatim token runs, not whole-document
+    similarity): every {SPAN}-token window is fingerprinted; a span is
+    DUPLICATED if its fingerprint occurs more than once corpus-wide
+    (across docs or repeated within one); each doc reports its span
+    count, duplicated-span count, and integer-scaled duplicated
+    fraction. Planted exact copies score 1000‰, near copies just
+    under, organic boilerplate shows up as partial fractions — the
+    per-doc signal a curation pass thresholds to strip or down-weight
+    verbatim-repeated content that document-level dedup cannot see.
+
+    Scale shape: the gram stream is one map-side pass (size ≈ token
+    count; the token array is materialized once per doc before the
+    window transform — the shingle-table lesson); the duplicate table
+    is ONE groupBy(fingerprint) with map-side partials; the annotate
+    join is fingerprint-equi (broadcast at toy scale via AQE,
+    sort-merge at 10^12 tokens); the per-doc rollup is one more
+    partial-combined groupBy. Nothing pairwise, nothing quadratic —
+    this is the suffix-array-free formulation that actually runs at
+    corpus scale. FULL value oracle: DuckDB re-derives the same
+    fingerprints and fractions."""
+    c = spread(corpus(spark, sf_dir))
+    toks_df = c.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("__toks")
+    )
+    t = F.col("__toks")
+    fps = F.when(
+        F.size(t) >= SPAN_TOKENS,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (SPAN_TOKENS - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(t, i, SPAN_TOKENS))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks_df.select("doc_id", F.explode(fps).alias("fp"))
+    dupfp = (
+        grams.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("fp", F.lit(1).alias("__dup"))
+    )
+    per_doc = (
+        grams.join(dupfp, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce("__dup", F.lit(0))).cast("long").alias("n_dup_spans"),
+        )
+    )
+    return per_doc.filter(F.col("n_dup_spans") > 0).select(
+        "doc_id",
+        "n_spans",
+        "n_dup_spans",
+        F.expr("(n_dup_spans * 1000) div n_spans").alias("dup_frac_x1000"),
+    )

@@ -340,3 +340,29 @@ def test_containment_catches_inclusions_jaccard_misses(spark, sf_dir):
         # |A| ~ 18 shingles, |B| ~ n_tok-2; J <= |A|/|B| scaled
         j_upper = 1000 * 18 // (n_tok[r["db"]] - 2)
         assert j_upper < JACCARD_THRESH
+
+
+def test_exact_substring_spans_score_planted_copies(spark, sf_dir):
+    """Planted exact copies must score 1000-per-mille duplicated spans;
+    near copies (first token dropped) must also fully duplicate — every
+    10-token window of the near copy exists verbatim in the original —
+    and the originals of planted copies must carry dup spans too."""
+    from osm_data_classification_spark.operators.dedup import (
+        CATALOG as DEDUP,
+        EXACT_OFF,
+        N_EXACT,
+        NEAR_OFF,
+    )
+
+    got = {
+        r["doc_id"]: r["dup_frac_x1000"]
+        for r in DEDUP["dedup_exact_substring_spans"].fn(spark, sf_dir).collect()
+    }
+    exact_ids = [EXACT_OFF + i for i in range(N_EXACT)]
+    covered = [i for i in exact_ids if i in got]
+    assert covered, "no planted exact copy produced spans"
+    assert all(got[i] == 1000 for i in covered)
+    near_covered = [NEAR_OFF + i for i in range(50) if NEAR_OFF + i in got]
+    assert near_covered and all(got[i] == 1000 for i in near_covered)
+    # the originals mirror their copies
+    assert all(i - EXACT_OFF in got for i in covered)

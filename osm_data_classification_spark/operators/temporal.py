@@ -650,3 +650,74 @@ def events_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wau",
         F.expr("dau * 1000 div wau").alias("stickiness_x1000"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-host crawl-volume anomaly detection (integer-exact MAD)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "events_anomaly_mad",
+    """
+    WITH daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT user_id, CAST(2 * median(n) AS BIGINT) AS med2
+        FROM daily GROUP BY user_id
+    ),
+    devs AS (
+        SELECT d.user_id, d.day, d.n, s.med2, abs(2 * d.n - s.med2) AS dev2
+        FROM daily d JOIN stats s USING (user_id)
+    ),
+    mads AS (
+        SELECT user_id, CAST(2 * median(dev2) AS BIGINT) AS mad4
+        FROM devs GROUP BY user_id
+    )
+    SELECT v.user_id, strftime(v.day, '%Y-%m-%d') AS day,
+           CAST(v.n AS BIGINT) AS n_events, v.med2, m.mad4,
+           (2 * v.dev2 > 3 * m.mad4) AS is_anomaly
+    FROM devs v JOIN mads m USING (user_id)
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-host crawl-volume anomaly detection: a day is
+    anomalous when its event count deviates from the host's MEDIAN
+    daily volume by more than 3× the MEDIAN absolute deviation — the
+    crawl-trap / volume-spike detector that mean/stddev z-scores miss
+    (one spike inflates the stddev and hides itself; the median pair
+    is robust to it).
+
+    Everything stays INTEGER-exact across engines: medians of integer
+    sets interpolate to halves at worst, so med2 = 2·median and
+    mad4 = 2·median(|2n − med2|) are exact BIGINTs in both engines
+    (the doubled-median construction), and the 3-MAD test compares
+    integers — no float ever reaches the output. Scale shape: one
+    partial-combined daily rollup, two per-host median aggregations
+    (exact percentile over the per-host day list — bounded by days,
+    not events), two host-keyed equi-joins sharing one partitioning.
+    FULL value oracle: DuckDB computes the identical doubled medians."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = daily.groupBy("user_id").agg(
+        (2 * F.median("n")).cast("long").alias("med2")
+    )
+    devs = daily.join(stats, "user_id").withColumn(
+        "dev2", F.abs(2 * F.col("n") - F.col("med2"))
+    )
+    mads = devs.groupBy("user_id").agg(
+        (2 * F.median("dev2")).cast("long").alias("mad4")
+    )
+    return devs.join(mads, "user_id").select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n_events"),
+        "med2",
+        "mad4",
+        (2 * F.col("dev2") > 3 * F.col("mad4")).alias("is_anomaly"),
+    )

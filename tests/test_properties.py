@@ -123,3 +123,55 @@ def test_pip_matches_matplotlib_free_winding_oracle(seed):
 
     exp = np.array([crossing(px[k], py[k]) for k in range(200)])
     assert (got == exp).all()
+
+
+def test_anomaly_mad_robust_to_single_spike(spark):
+    """The MAD detector's defining property: one huge spike in an
+    otherwise-steady series is flagged WITHOUT masking itself (a
+    mean/stddev z-score at 3 sigma misses it on short series because
+    the spike inflates the stddev). Synthetic host: 9 steady days of 4
+    events + 1 day of 400."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from osm_data_classification_spark.operators.temporal import (
+        CATALOG as TEMP,
+    )
+
+    rows = []
+    eid = 0
+    for d in range(10):
+        n = 400 if d == 9 else 4
+        for i in range(n):
+            rows.append(
+                (
+                    eid,
+                    datetime.datetime(2024, 1, 1 + d, 1 + (i % 20), i % 60),
+                    7,
+                    "crawl",
+                    1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    sch = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    import os
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="mad_src_")
+    try:
+        spark.createDataFrame(rows, sch).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = TEMP["events_anomaly_mad"].fn(spark, d).collect()
+        flagged = {r["day"] for r in out if r["is_anomaly"]}
+        assert flagged == {"2024-01-10"}
+        # med/mad reflect the steady regime, not the spike
+        assert all(r["med2"] == 8 and r["mad4"] == 0 for r in out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1764,3 +1764,97 @@ def geo_tile_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
         "smooth_weight",
         "n_direct",
     )
+
+
+# ---------------------------------------------------------------------------
+# contributor stays (spatial run-length sessionization)
+# ---------------------------------------------------------------------------
+
+_STAY_MIN = 3  # consecutive same-cell pages that constitute a stay
+
+
+@_register(
+    "geo_contributor_stays",
+    f"""
+    WITH {PAGES_SQL},
+    pc AS (
+        SELECT contributor, url, warc_ts, {CELL_SQL('lon', 'lat', 7)} AS cell
+        FROM pages
+    ),
+    flag AS (
+        SELECT *, CASE WHEN lag(cell) OVER w IS NULL
+                         OR lag(cell) OVER w <> cell THEN 1 ELSE 0 END
+                      AS new_run
+        FROM pc WINDOW w AS (PARTITION BY contributor ORDER BY warc_ts, url)
+    ),
+    runs AS (
+        SELECT *, SUM(new_run) OVER (PARTITION BY contributor
+                                     ORDER BY warc_ts, url) AS run_id
+        FROM flag
+    )
+    SELECT contributor, cell, CAST(count(*) AS BIGINT) AS n_visits,
+           strftime(min(warc_ts), '%Y-%m-%d %H:%M:%S.%f') AS stay_start,
+           strftime(max(warc_ts), '%Y-%m-%d %H:%M:%S.%f') AS stay_end
+    FROM runs GROUP BY contributor, cell, run_id
+    HAVING count(*) >= {_STAY_MIN}
+    """,
+)
+def geo_contributor_stays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial run-length sessionization — the trajectory "stay/stop"
+    detector: within each contributor's time-ordered page stream, a
+    maximal run of ≥ {_STAY_MIN} consecutive pages geocoding to the
+    SAME res-7 cell is a stay (the OSM editing-session analog: a
+    contributor working one area before moving on). Distinct from
+    tile aggregation (which counts unordered presence) — a
+    contributor alternating between two cells produces NO stay here
+    however many edits land in each.
+
+    Determinism: the run segmentation depends on event order, so the
+    window sorts by (warc_ts, url) — unique per page row by the
+    synthetic-ts construction — making the lag/cumsum segmentation
+    identical in both engines. Scale shape: the sessionize_events
+    pattern on a spatial key — both windows share the contributor
+    partitioning (ONE hash exchange + sort serves lag and cumsum),
+    then one partial-combined groupBy over runs. FULL oracle: DuckDB
+    re-synthesizes pages and segments the same runs."""
+    from pyspark.sql.window import Window
+
+    pages = geocoded_pages(spark, sf_dir, res=7).withColumn(
+        "contributor", F.regexp_extract("url", r"site(\d+)", 1).try_cast("long")
+    )
+    pc = pages.select("contributor", "url", "warc_ts", "cell")
+    w = Window.partitionBy("contributor").orderBy("warc_ts", "url")
+    flag = pc.withColumn(
+        "new_run",
+        F.when(
+            F.lag("cell").over(w).isNull()
+            | (F.lag("cell").over(w) != F.col("cell")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    runs = flag.withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy("contributor", "cell", "run_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_visits"),
+            F.min("warc_ts").alias("__s"),
+            F.max("warc_ts").alias("__e"),
+        )
+        .filter(F.col("n_visits") >= _STAY_MIN)
+        .select(
+            "contributor",
+            "cell",
+            "n_visits",
+            F.date_format("__s", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "stay_start"
+            ),
+            F.date_format("__e", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "stay_end"
+            ),
+        )
+    )

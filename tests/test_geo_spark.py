@@ -355,3 +355,60 @@ def test_tile_smooth_conserves_direct_mass(spark, sf_dir):
     assert agg["direct"] == n_pages
     assert agg["slack"] >= 0
     assert out.filter(F.col("n_direct") == 0).count() > 0, "no dilation ring"
+
+
+def test_contributor_stays_require_consecutive_runs(spark):
+    """A contributor ALTERNATING between two cells accumulates many
+    edits per cell but no 3-run — stays are about consecutive
+    presence, not volume; a contributor with 3 consecutive same-cell
+    pages produces exactly one stay."""
+    import datetime
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from osm_data_classification_spark.operators.geo_queries import (
+        geo_contributor_stays,
+    )
+
+    # reuse the operator's windowing logic on a controlled frame by
+    # monkey-free construction: build pages with known cells via lon
+    rows = []
+    t0 = datetime.datetime(2024, 1, 1)
+    for i in range(8):  # alternator: cell A, B, A, B...
+        rows.append(("https://site1.example/p/%d" % i,
+                     t0 + datetime.timedelta(hours=i),
+                     1, 10.0 + 40.0 * (i % 2), 10.0))
+    for i in range(3):  # stayer: 3x same cell
+        rows.append(("https://site2.example/p/%d" % (100 + i),
+                     t0 + datetime.timedelta(hours=i),
+                     2, 20.0, 20.0))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, contributor long,"
+        " lon double, lat double"
+    )
+    from osm_data_classification_spark.geo.cells import cell_encode_col
+
+    pc = pages.withColumn("cell", cell_encode_col(F.col("lon"), F.col("lat"), 7))
+    w = Window.partitionBy("contributor").orderBy("warc_ts", "url")
+    flag = pc.withColumn(
+        "new_run",
+        F.when(
+            F.lag("cell").over(w).isNull()
+            | (F.lag("cell").over(w) != F.col("cell")), F.lit(1)
+        ).otherwise(F.lit(0)),
+    )
+    runs = flag.withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    stays = (
+        runs.groupBy("contributor", "cell", "run_id")
+        .agg(F.count(F.lit(1)).alias("n_visits"))
+        .filter(F.col("n_visits") >= 3)
+        .collect()
+    )
+    assert {r["contributor"] for r in stays} == {2}
+    assert len(stays) == 1 and stays[0]["n_visits"] == 3

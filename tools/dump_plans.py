@@ -138,6 +138,30 @@ NOTES = {
     "dedup_cross_snapshot": "new-batch fingerprints LEFT JOIN the "
     "distinct old-fingerprint set; at scale the runtime bloom filter "
     "prefilters the probe side (plan-gated elsewhere)",
+    "geo_tile_smooth": "3x3 kernel convolution on the AGGREGATED "
+    "raster: pages collapse to one row per non-empty cell before the "
+    "x9 kernel explode, so both exchanges carry O(cells), never pages",
+    "dedup_containment": "rare-shingle blocking: one groupBy(shingle) "
+    "builds the DF table, candidates come from the rare-only "
+    "self-join (fan-out bounded by DF-cap squared per shingle), the "
+    "containment verify joins candidates to distinct shingle sets — "
+    "nothing all-pairs",
+    "dedup_exact_substring_spans": "map-side gram pass -> ONE "
+    "groupBy(fingerprint) with partial combine -> fingerprint-equi "
+    "annotate join -> per-doc rollup: the suffix-array-free "
+    "exact-substring shape",
+    "events_anomaly_mad": "two exact-median aggregations and two "
+    "joins all hash on user_id — one partitioning serves the whole "
+    "doubled-median pipeline; medians run over per-host day lists "
+    "(bounded by days, not events)",
+    "geo_contributor_stays": "lag + cumsum share the contributor "
+    "window partitioning (ONE exchange + sort), then one "
+    "partial-combined groupBy over runs — sessionize_events on a "
+    "spatial key",
+    "ann_pq_trained": "every Lloyd iteration joins the dim stream to "
+    "a BROADCAST 1024-row centroid table (no shuffle on the scan "
+    "side) and updates via one groupBy to M*K*SUB rows; encode/ADC "
+    "reuse the ann_pq_topk broadcast-LUT layout",
 }
 
 

@@ -293,3 +293,70 @@ def crawl_snapshot_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("seen_before") * F.col("seen_after"))
         .cast("long").alias("n_refreshed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-host crawl byte budget (take-while prefix-sum allocation)
+# ---------------------------------------------------------------------------
+
+_BYTE_BUDGET = 1200  # per-host fetch budget (chars as the byte analog)
+
+
+def _budget_sql() -> str:
+    from .portable import PHASH
+
+    return f"""
+    WITH ranked AS (
+        SELECT doc_id % 50 AS host, doc_id, n_chars,
+               SUM(n_chars) OVER (
+                   PARTITION BY doc_id % 50
+                   ORDER BY {PHASH('doc_id')}, doc_id
+               ) AS cum_chars
+        FROM documents
+    )
+    SELECT CAST(host AS BIGINT) AS host, doc_id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(cum_chars AS BIGINT) AS cum_chars,
+           (cum_chars <= {_BYTE_BUDGET}) AS fetch
+    FROM ranked
+    """
+
+
+@_register("crawl_budget_allocate", _budget_sql())
+def crawl_budget_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host crawl BYTE budget — the prefix-sum companion to
+    sample_host_cap's count cap: each host fetches documents in
+    portable-hash priority order only while the RUNNING total of
+    their sizes stays inside the budget (a take-while, not a top-k:
+    whether doc k is fetched depends on the sizes of everything
+    ranked before it, so no per-row predicate can express it — it is
+    the window prefix-sum that crawl schedulers actually run). The
+    per-doc fetch flag plus the running total are emitted so the
+    dropped tail is auditable and the driver hash pins the exact
+    cut point per host.
+
+    Scale shape: ONE window over the host partition key — a single
+    hash exchange; the running sum is streamed per partition in sort
+    order, state O(1) per host. Priority is the portable hash (no
+    rand()), so the allocation is identical at any parallelism and
+    in both engines. FULL oracle: DuckDB repeats the ranked prefix
+    sum and threshold."""
+    from pyspark.sql.window import Window
+
+    from .portable import phash_col
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 50).alias("host"), "doc_id", "n_chars"
+    )
+    w = (
+        Window.partitionBy("host")
+        .orderBy(phash_col(F.col("doc_id")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return docs.select(
+        F.col("host").cast("long").alias("host"),
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_chars").over(w).cast("long").alias("cum_chars"),
+        (F.sum("n_chars").over(w) <= _BYTE_BUDGET).alias("fetch"),
+    )

@@ -73,3 +73,38 @@ def test_knn_result_independent_of_res_and_adaptive_path(spark, sf_dir):
     bad = knn_join(pts, pts.withColumnRenamed("qid", "cid"), k=3, res=10)
     assert table_checksum(good) == table_checksum(bad)
     pts.unpersist()
+
+
+def test_budget_allocate_take_while_not_topk(spark, sf_dir):
+    """The byte budget is a take-while, not a count cap: within each
+    host the fetch flags must be a PREFIX of the priority order (no
+    fetch=True after the first False), the kept bytes must fit the
+    budget, and at least one host must demonstrate the non-top-k
+    property by keeping a different COUNT than some other host."""
+    from pyspark.sql import functions as F
+
+    from osm_data_classification_spark.operators.skew_queries import (
+        _BYTE_BUDGET,
+        CATALOG as SKEW,
+    )
+
+    out = SKEW["crawl_budget_allocate"].fn(spark, sf_dir)
+    assert out.filter(
+        F.col("fetch") & (F.col("cum_chars") > _BYTE_BUDGET)
+    ).count() == 0
+    # prefix property: within a host, max cum_chars among fetched <
+    # min cum_chars among dropped
+    per_host = (
+        out.groupBy("host")
+        .agg(
+            F.max(F.when(F.col("fetch"), F.col("cum_chars"))).alias("maxk"),
+            F.min(F.when(~F.col("fetch"), F.col("cum_chars"))).alias("mind"),
+            F.sum(F.when(F.col("fetch"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .collect()
+    )
+    for r in per_host:
+        if r["maxk"] is not None and r["mind"] is not None:
+            assert r["maxk"] < r["mind"], f"non-prefix fetch set on host {r['host']}"
+    kept_counts = {r["n_kept"] for r in per_host}
+    assert len(kept_counts) > 1, "every host kept the same count — looks like top-k"

@@ -182,13 +182,16 @@ def main() -> None:
     import glob
 
     fp_diff: dict[str, object] = {"baseline": None, "changed": []}
-    for prior in sorted(glob.glob("BENCH_r*.json"), reverse=True):
+    _root = os.path.dirname(os.path.abspath(__file__))
+    for prior in sorted(
+        glob.glob(os.path.join(_root, "BENCH_r*.json")), reverse=True
+    ):
         try:
             prev = json.load(open(prior)).get("plan_fingerprints")
         except (OSError, json.JSONDecodeError):
             continue
         if prev:
-            fp_diff["baseline"] = prior
+            fp_diff["baseline"] = os.path.basename(prior)
             fp_diff["changed"] = sorted(
                 q
                 for q in fingerprints

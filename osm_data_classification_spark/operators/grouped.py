@@ -165,3 +165,103 @@ def udtf_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.term, t.n "
         "FROM docs_udtf_in d, LATERAL repeated_terms(d.text) t"
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM drift detection (genuinely sequential per-group scan)
+# ---------------------------------------------------------------------------
+
+_CUSUM_K = 5  # drift when the accumulated excess reaches K x med2
+
+
+@_register(
+    "grouped_cusum_apply",
+    f"""
+    WITH RECURSIVE daily AS (
+        SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT user_id, CAST(2 * median(n) AS BIGINT) AS med2
+        FROM daily GROUP BY user_id
+    ),
+    seq AS (
+        SELECT d.user_id, d.day, d.n, m.med2,
+               row_number() OVER (PARTITION BY d.user_id
+                                  ORDER BY d.day) AS idx
+        FROM daily d JOIN med m USING (user_id)
+    ),
+    cusum AS (
+        SELECT user_id, day, n, med2, idx,
+               greatest(0, 2 * n - med2 - (med2 + 3) // 4) AS s2
+        FROM seq WHERE idx = 1
+        UNION ALL
+        SELECT s.user_id, s.day, s.n, s.med2, s.idx,
+               greatest(0, c.s2 + 2 * s.n - s.med2
+                           - (s.med2 + 3) // 4) AS s2
+        FROM seq s JOIN cusum c
+          ON c.user_id = s.user_id AND s.idx = c.idx + 1
+    )
+    SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n_events, med2,
+           CAST(s2 AS BIGINT) AS cusum2,
+           (s2 >= {_CUSUM_K} * med2) AS drift
+    FROM cusum
+    """,
+)
+def grouped_cusum_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM drift detection over each host's daily volume —
+    the genuinely SEQUENTIAL per-group scan no window frame can
+    express: S_i = max(0, S_{i-1} + (x_i − target − slack)) resets on
+    the max, so S_i depends on the entire prefix through a
+    non-associative recurrence (a running sum sees a one-day spike;
+    CUSUM sees sustained drift and DECAYS a spike at slack per
+    on-target day — without the slack term an on-target day adds
+    exactly zero and a spike would be remembered forever). Target =
+    the host's median daily volume via the doubled-median integer
+    construction (events_anomaly_mad); slack = ceil(med2/4), also an
+    exact integer, so every value is an exact BIGINT; drift fires
+    when the accumulated doubled excess reaches {_CUSUM_K}× med2.
+
+    applyInPandas is the RIGHT tool here, not a fallback: the
+    recurrence needs the group's full ordered series in one place,
+    and the pre-aggregated daily table is tiny (≤ days per host), so
+    the Arrow transfer is bounded by days × hosts regardless of event
+    count — aggregate relationally first, ship only the series to
+    Python. FULL oracle: DuckDB unrolls the identical recurrence as a
+    RECURSIVE CTE — the only catalog entry whose oracle is a
+    recursive query over a per-group recurrence."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    med = daily.groupBy("user_id").agg(
+        (2 * F.median("n")).cast("long").alias("med2")
+    )
+    seq = daily.join(med, "user_id")
+
+    def per_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        med2 = int(pdf["med2"].iloc[0])
+        s = 0
+        out = []
+        slack2 = (med2 + 3) // 4
+        for n in pdf["n"].astype("int64"):
+            s = max(0, s + 2 * int(n) - med2 - slack2)
+            out.append(s)
+        return pd.DataFrame(
+            {
+                "user_id": pdf["user_id"],
+                "day": pdf["day"].dt.strftime("%Y-%m-%d"),
+                "n_events": pdf["n"].astype("int64"),
+                "med2": pdf["med2"].astype("int64"),
+                "cusum2": pd.Series(out, dtype="int64"),
+                "drift": [v >= _CUSUM_K * med2 for v in out],
+            }
+        )
+
+    schema = (
+        "user_id long, day string, n_events long, med2 long,"
+        " cusum2 long, drift boolean"
+    )
+    return seq.groupBy("user_id").applyInPandas(per_group, schema)

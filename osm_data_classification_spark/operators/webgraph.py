@@ -438,3 +438,113 @@ def crawl_robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("path").startswith(F.col("disallow"))
         ).alias("blocked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# host similarity by shared outlinks (bibliographic coupling)
+# ---------------------------------------------------------------------------
+
+_HUB_CAP = 40        # dsts linked from more hosts than this generate no pairs
+_COUPLE_THRESH = 200  # jaccard_x1000 floor
+
+
+def _coupling_sql() -> str:
+    return f"""
+    WITH {PAGES_SQL},
+    pages1 AS (SELECT DISTINCT url, {_DID} AS did FROM pages),
+    edges AS (
+        SELECT DISTINCT
+            'site' || CAST(did % {N_HOSTS} AS VARCHAR) || '.example' AS src,
+            'site' || CAST((did * 7 + m * 13) % {N_HOSTS} AS VARCHAR)
+                || '.example' AS dst
+        FROM pages1, unnest(generate_series(1, {N_LINKS})) AS t(m)
+    ),
+    sizes AS (SELECT src, count(*) AS n FROM edges GROUP BY src),
+    indeg AS (SELECT dst, count(*) AS d FROM edges GROUP BY dst),
+    rare AS (
+        SELECT e.src, e.dst FROM edges e
+        JOIN indeg USING (dst) WHERE indeg.d <= {_HUB_CAP}
+    ),
+    cand AS (
+        SELECT DISTINCT a.src AS ha, b.src AS hb
+        FROM rare a JOIN rare b ON a.dst = b.dst AND a.src < b.src
+    ),
+    inter AS (
+        SELECT c.ha, c.hb, count(*) AS n_shared
+        FROM cand c
+        JOIN edges a ON a.src = c.ha
+        JOIN edges b ON b.src = c.hb AND b.dst = a.dst
+        GROUP BY c.ha, c.hb
+    )
+    SELECT i.ha, i.hb, CAST(i.n_shared AS BIGINT) AS n_shared,
+           CAST((i.n_shared * 1000) // (sa.n + sb.n - i.n_shared)
+                AS BIGINT) AS jaccard_x1000
+    FROM inter i
+    JOIN sizes sa ON sa.src = i.ha
+    JOIN sizes sb ON sb.src = i.hb
+    WHERE (i.n_shared * 1000) // (sa.n + sb.n - i.n_shared)
+              >= {_COUPLE_THRESH}
+    """
+
+
+@_register("webgraph_host_coupling", _coupling_sql())
+def webgraph_host_coupling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling over the host graph: two hosts are
+    similar when their OUT-link sets overlap (Jaccard ≥ 20%) — the
+    link-farm / mirror-network signal host-level quality priors and
+    spam detection use (farms share templated outlink sets even when
+    their page text differs enough to dodge text dedup).
+
+    Candidate generation is HUB-CAPPED destination blocking — the
+    rare-shingle construction transplanted to the graph: a pair is
+    only considered if it shares a destination linked from ≤ _HUB_CAP
+    hosts, so mega-hubs (every host links the big platforms) generate
+    no candidate pairs by construction; the exact Jaccard then runs
+    over the FULL out-link sets of candidates only. Scale shape: one
+    distinct edge rollup, one in-degree groupBy, a bounded-fan-out
+    self-join (≤ cap² ordered pairs per destination), candidate-only
+    verification — nothing all-pairs over hosts. FULL oracle: DuckDB
+    rebuilds the planted edges arithmetically and repeats the
+    blocking + Jaccard."""
+    pages = synth_pages(spark, sf_dir).dropDuplicates(["url"])
+    h = F.col("html").cast("string")
+    links = F.regexp_extract_all(h, F.lit(_HREF_RE), 1)
+    edges = (
+        pages.select(
+            F.regexp_extract("url", _HOST_RE, 1).alias("src"),
+            F.explode(links).alias("href"),
+        )
+        .select("src", F.regexp_extract("href", _HOST_RE, 1).alias("dst"))
+        .distinct()
+    )
+    sizes = edges.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("d"))
+    rare = edges.join(
+        indeg.filter(F.col("d") <= _HUB_CAP).select("dst"), "dst"
+    )
+    cand = (
+        rare.select(F.col("src").alias("ha"), "dst")
+        .join(rare.select(F.col("src").alias("hb"), "dst"), "dst")
+        .filter(F.col("ha") < F.col("hb"))
+        .select("ha", "hb")
+        .distinct()
+    )
+    inter = (
+        cand.join(edges.select(F.col("src").alias("ha"), "dst"), "ha")
+        .join(edges.select(F.col("src").alias("hb"), "dst"), ["hb", "dst"])
+        .groupBy("ha", "hb")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("src", "ha").withColumnRenamed("n", "na"), "ha")
+        .join(sizes.withColumnRenamed("src", "hb").withColumnRenamed("n", "nb"), "hb")
+        .select(
+            "ha",
+            "hb",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.expr("(n_shared * 1000) div (na + nb - n_shared)").alias(
+                "jaccard_x1000"
+            ),
+        )
+        .filter(F.col("jaccard_x1000") >= _COUPLE_THRESH)
+    )

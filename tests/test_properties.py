@@ -175,3 +175,50 @@ def test_anomaly_mad_robust_to_single_spike(spark):
         assert all(r["med2"] == 8 and r["mad4"] == 0 for r in out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_cusum_flags_sustained_drift_not_single_spike(spark):
+    """CUSUM vs MAD division of labor: a one-day spike (then back to
+    normal) must NOT put CUSUM into sustained drift at the end of the
+    series, while a level shift (volume doubles and stays) must. The
+    recurrence resets on max(0, .), so the spike decays."""
+    import datetime
+    import os
+    import shutil
+    import tempfile
+
+    from osm_data_classification_spark.operators.grouped import (
+        CATALOG as GRP,
+    )
+
+    rows, eid = [], 0
+    # host 1: steady 4/day for 20 days, day 2 spikes to 20, rest steady
+    for d in range(20):
+        n = 20 if d == 2 else 4
+        for i in range(n):
+            rows.append((eid, datetime.datetime(2024, 1, 1 + d, 1 + i % 20), 1, "a", 1.0, "{}"))
+            eid += 1
+    # host 2: 4/day for 15 days then a sustained shift to 12/day
+    for d in range(20):
+        n = 4 if d < 15 else 12
+        for i in range(n):
+            rows.append((eid, datetime.datetime(2024, 1, 1 + d, 1 + i % 20), 2, "a", 1.0, "{}"))
+            eid += 1
+    sch = ("event_id long, ts timestamp, user_id long, event_type string,"
+           " value double, props string")
+    d = tempfile.mkdtemp(prefix="cusum_src_")
+    try:
+        spark.createDataFrame(rows, sch).write.mode("overwrite").parquet(
+            os.path.join(d, "events.parquet")
+        )
+        out = GRP["grouped_cusum_apply"].fn(spark, d).collect()
+        by_host_last = {}
+        for r in sorted(out, key=lambda r: (r["user_id"], r["day"])):
+            by_host_last[r["user_id"]] = r
+        assert not by_host_last[1]["drift"], "spike host wrongly in drift at series end"
+        assert by_host_last[2]["drift"], "level-shift host not flagged"
+        # the spike day itself may exceed, but the accumulator must
+        # have decayed back to zero by the series end
+        assert by_host_last[1]["cusum2"] == 0
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

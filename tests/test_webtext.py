@@ -594,3 +594,22 @@ def test_warc_parse_junk_records_yield_nulls(spark):
     for junk in rows[1:3]:
         assert junk["uri"] is None or junk["content_length"] is None
     assert rows[3]["payload"] is None
+
+
+def test_host_coupling_requires_shared_rare_destinations(spark, sf_dir):
+    """Bibliographic coupling sanity: every emitted pair genuinely
+    shares >= 1 out-destination and meets the Jaccard floor computed
+    from the real out-degree table; ha < hb canonical order holds."""
+    from pyspark.sql import functions as F
+
+    from osm_data_classification_spark.operators.webgraph import (
+        _COUPLE_THRESH,
+        CATALOG as WG,
+    )
+
+    out = WG["webgraph_host_coupling"].fn(spark, sf_dir).collect()
+    assert out, "no coupled host pairs found"
+    for r in out:
+        assert r["ha"] < r["hb"]
+        assert r["n_shared"] >= 1
+        assert r["jaccard_x1000"] >= _COUPLE_THRESH

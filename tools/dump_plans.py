@@ -162,6 +162,18 @@ NOTES = {
     "a BROADCAST 1024-row centroid table (no shuffle on the scan "
     "side) and updates via one groupBy to M*K*SUB rows; encode/ADC "
     "reuse the ann_pq_topk broadcast-LUT layout",
+    "crawl_budget_allocate": "ONE window over the host partition key "
+    "(single hash exchange); the running prefix sum streams per "
+    "partition in sort order — take-while gating with O(1) state per "
+    "host",
+    "webgraph_host_coupling": "distinct edge rollup + in-degree "
+    "groupBy + bounded-fan-out self-join on hub-capped destinations "
+    "+ candidate-only Jaccard — the rare-shingle blocking shape on "
+    "the graph, nothing all-pairs over hosts",
+    "grouped_cusum_apply": "relational pre-aggregation collapses "
+    "events to the per-host daily series BEFORE the single "
+    "applyInPandas exchange — the Arrow transfer is bounded by "
+    "days x hosts, never event count",
 }
 
 

@@ -874,3 +874,162 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("bench_doc").alias("n_bench_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# host-scoped boilerplate line removal (CCNet-style per-domain dedup)
+# ---------------------------------------------------------------------------
+
+_BP_LINE_TOKENS = 10   # body re-lining unit
+_BP_FRAC_X10 = 6       # a line on >= 60% of a host's urls is boilerplate
+
+
+def _host_boilerplate_sql() -> str:
+    from ..geo.cells_sql import PAGES_SQL
+
+    toks = "string_split_regex(trim(text), '\\s+')"
+    return f"""
+    WITH {PAGES_SQL},
+    p1 AS (
+        SELECT DISTINCT url,
+               regexp_extract(url, '^https?://([^/]+)/', 1) AS host, text
+        FROM pages
+    ),
+    bl AS (
+        SELECT url, host, text,
+               unnest(generate_series(1,
+                   (length({toks}) + {_BP_LINE_TOKENS - 1})
+                       // {_BP_LINE_TOKENS})) AS i
+        FROM p1
+    ),
+    lines AS (
+        SELECT url, host, CAST(0 AS BIGINT) AS pos,
+               'nav_' || host || ' home products login' AS line FROM p1
+        UNION ALL
+        SELECT url, host, CAST(i AS BIGINT) AS pos,
+               array_to_string(
+                   ({toks})[{_BP_LINE_TOKENS} * i - {_BP_LINE_TOKENS - 1}
+                            : {_BP_LINE_TOKENS} * i], ' ') AS line
+        FROM bl
+        UNION ALL
+        SELECT url, host, CAST(1000000 AS BIGINT) AS pos,
+               'footer_' || host || ' terms privacy contact' AS line FROM p1
+    ),
+    hostdocs AS (
+        SELECT host, count(DISTINCT url) AS n_urls FROM p1 GROUP BY host
+    ),
+    lfreq AS (
+        SELECT host, line, count(DISTINCT url) AS df
+        FROM lines GROUP BY 1, 2
+    ),
+    boiler AS (
+        SELECT f.host, f.line FROM lfreq f JOIN hostdocs h USING (host)
+        WHERE f.df * 10 >= {_BP_FRAC_X10} * h.n_urls
+    )
+    SELECT l.url, l.host,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(CASE WHEN b.line IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boiler,
+           md5(COALESCE(string_agg(
+               CASE WHEN b.line IS NULL THEN l.line END,
+               ' ' ORDER BY l.pos), '')) AS kept_md5
+    FROM lines l LEFT JOIN boiler b ON b.host = l.host AND b.line = l.line
+    GROUP BY l.url, l.host
+    """
+
+
+@_register("webtext_host_boilerplate", _host_boilerplate_sql())
+def webtext_host_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOST-SCOPED boilerplate line removal — the CCNet/trafilatura
+    step dedup_paragraph_global (global, count>1) cannot express: a
+    line is boilerplate only if it appears on ≥ 60% of ITS HOST's
+    pages, so per-host navigation chrome is stripped while a phrase
+    that merely occurs twice corpus-wide survives. Pages are re-lined
+    deterministically (10-token body lines; planted nav/footer lines
+    stand in for the template chrome a real host emits on every
+    page), the per-(host, line) document frequency is compared to the
+    host's page count, and each page's surviving lines are
+    re-assembled in order (md5-digested).
+
+    Scale shape: one distinct url pass, one (host, line) groupBy with
+    map-side partials (the exchange carries distinct host-lines, not
+    the line stream), a host-keyed threshold join, and one per-url
+    reassembly groupBy — the dedup_paragraph_global plan with the
+    frequency table scoped by host. The boilerplate table is per-host
+    tiny but is NEVER broadcast as a whole (joined on host+line).
+    FULL oracle: DuckDB re-synthesizes pages, re-lines, and strips
+    identically."""
+    from ..sources.pages import synth_pages
+
+    HOST_RE = r"^https?://([^/]+)/"
+    pages = synth_pages(spark, sf_dir).dropDuplicates(["url"])
+    p1 = pages.select(
+        "url", F.regexp_extract("url", HOST_RE, 1).alias("host"), "text"
+    )
+    toks = F.split(F.trim("text"), r"\s+")
+    nb = F.floor(
+        (F.size(toks) + F.lit(_BP_LINE_TOKENS - 1)) / F.lit(_BP_LINE_TOKENS)
+    ).cast("int")
+    body = p1.select(
+        "url",
+        "host",
+        F.explode(F.sequence(F.lit(1), nb)).alias("i"),
+        toks.alias("__toks"),
+    ).select(
+        "url",
+        "host",
+        F.col("i").cast("long").alias("pos"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                "__toks",
+                F.col("i") * _BP_LINE_TOKENS - (_BP_LINE_TOKENS - 1),
+                F.lit(_BP_LINE_TOKENS),
+            ),
+        ).alias("line"),
+    )
+    nav = p1.select(
+        "url",
+        "host",
+        F.lit(0).cast("long").alias("pos"),
+        F.concat(F.lit("nav_"), F.col("host"), F.lit(" home products login")).alias("line"),
+    )
+    foot = p1.select(
+        "url",
+        "host",
+        F.lit(1_000_000).cast("long").alias("pos"),
+        F.concat(
+            F.lit("footer_"), F.col("host"), F.lit(" terms privacy contact")
+        ).alias("line"),
+    )
+    lines = nav.unionByName(body).unionByName(foot)
+    hostdocs = p1.groupBy("host").agg(F.countDistinct("url").alias("n_urls"))
+    lfreq = lines.groupBy("host", "line").agg(
+        F.countDistinct("url").alias("df")
+    )
+    boiler = (
+        lfreq.join(hostdocs, "host")
+        .filter(F.col("df") * 10 >= _BP_FRAC_X10 * F.col("n_urls"))
+        .select("host", "line", F.lit(1).alias("__bp"))
+    )
+    ann = lines.join(boiler, ["host", "line"], "left")
+    return ann.groupBy("url", "host").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.coalesce("__bp", F.lit(0))).cast("long").alias("n_boiler"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__bp").isNull(),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            )
+        ).alias("kept_md5"),
+    )

@@ -613,3 +613,21 @@ def test_host_coupling_requires_shared_rare_destinations(spark, sf_dir):
         assert r["ha"] < r["hb"]
         assert r["n_shared"] >= 1
         assert r["jaccard_x1000"] >= _COUPLE_THRESH
+
+
+def test_host_boilerplate_strips_chrome_keeps_body(spark, sf_dir):
+    """Every page must lose exactly its nav+footer chrome (planted on
+    100% of each host's pages) and keep every body line; the kept
+    digest must differ from the all-lines digest (something was
+    actually stripped)."""
+    from pyspark.sql import functions as F
+
+    from osm_data_classification_spark.operators.webtext import (
+        CATALOG as WT,
+    )
+
+    out = WT["webtext_host_boilerplate"].fn(spark, sf_dir)
+    bad = out.filter(F.col("n_boiler") < 2).count()
+    assert bad == 0, f"{bad} pages did not lose their nav+footer"
+    # kept lines = n_lines - n_boiler >= 1 body line for every page
+    assert out.filter(F.col("n_lines") - F.col("n_boiler") < 1).count() == 0

@@ -210,6 +210,14 @@ EMPTY_INPUT_QUERIES = [
     "webgraph_triangle_count", "stream_session_dwell", "geo_geohash_encode",
     "mm_scene_cut", "embed_matryoshka_topk", "sample_host_cap",
     "crawl_snapshot_coverage",
+    # round-5 batch (stream_stream joins buffer nothing on empty
+    # sides; CUSUM/MAD see zero hosts; PQ training degenerates to an
+    # empty codebook join; blocking deduds produce no candidates)
+    "stream_stream_join", "stream_stream_left_join", "ann_pq_trained",
+    "dedup_containment", "dedup_exact_substring_spans",
+    "geo_tile_smooth", "geo_contributor_stays", "events_anomaly_mad",
+    "crawl_budget_allocate", "webgraph_host_coupling",
+    "grouped_cusum_apply", "webtext_host_boilerplate",
 ]
 
 

@@ -152,3 +152,35 @@ def test_engine_zip_matches_tree():
     assert not orphans, f"engine.zip has orphan files: {orphans}"
     diff = sorted(rel for rel in tree if tree[rel] != zipped[rel])
     assert not diff, f"engine.zip content differs from tree: {diff}"
+
+
+def test_snapshot_merge_entry_membership_laws(spark, sf_dir):
+    """table_snapshot_merge end-to-end laws: v1 membership is doc_id%3
+    != 2, latest adds the even batch, updated = exactly (in both and
+    even), and time travel preserved every v1 digest (an updated doc's
+    v1_md5 equals the original text's md5, not the rewritten one)."""
+    from pyspark.sql import functions as F
+
+    from osm_data_classification_spark.io import load_table
+    from osm_data_classification_spark.operators.warehouse import (
+        CATALOG as WH,
+    )
+
+    out = WH["table_snapshot_merge"].fn(spark, sf_dir)
+    bad = out.filter(
+        (F.col("in_v1") != (F.col("doc_id") % 3 != 2))
+        | (F.col("in_latest") != ((F.col("doc_id") % 3 != 2) | (F.col("doc_id") % 2 == 0)))
+        | (F.col("updated") != (F.col("in_v1") & (F.col("doc_id") % 2 == 0)))
+    ).count()
+    assert bad == 0
+    # time-travel isolation: v1 digests equal the ORIGINAL text md5
+    orig = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("orig_md5")
+    )
+    leak = (
+        out.filter(F.col("in_v1"))
+        .join(orig, "doc_id")
+        .filter(F.col("v1_md5") != F.col("orig_md5"))
+        .count()
+    )
+    assert leak == 0, "the merge rewrite bled into snapshot v1"

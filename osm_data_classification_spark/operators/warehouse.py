@@ -110,3 +110,52 @@ def table_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         return joined.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@_register(
+    "table_schema_evolution",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN doc_id % 2 = 1 THEN n_chars END AS n_chars,
+           (doc_id % 2 = 1) AS has_chars
+    FROM documents
+    """,
+)
+def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution (Iceberg add-column contract) under a FULL
+    oracle: epoch 1 writes the even docs with the OLD schema
+    (doc_id, lang); epoch 2 writes the odd docs with an ADDED column
+    (doc_id, lang, n_chars); `read_evolved` (mergeSchema) unions the
+    two directories so pre-evolution rows surface NULL for the column
+    they predate. The oracle is the same projection over `documents`;
+    a read that drops the old files, fails to merge the schemas, or
+    backfills anything other than NULL hash-fails.
+
+    Scale shape: mergeSchema reads each file with its own footer
+    schema and projects to the union — no rewrite of old data, the
+    exact add-column evolution a 100-TB table relies on (rewriting
+    history to add a column is the thing Iceberg exists to avoid)."""
+    import shutil
+    import tempfile
+
+    from ..io import read_evolved
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = tempfile.mkdtemp(prefix="cat_evo_")
+    e1, e2 = base + "/epoch1", base + "/epoch2"
+    try:
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang"
+        ).write.parquet(e1)
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "lang", "n_chars"
+        ).write.parquet(e2)
+        evolved = read_evolved(spark, e1, e2).select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.col("n_chars").isNotNull().alias("has_chars"),
+        )
+        return evolved.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
